@@ -301,8 +301,10 @@ def multishift_trsm(side: str, uplo: str, orient: str, alpha, A: Arr,
     eye = jnp.eye(a.shape[0], dtype=a.dtype)
 
     def solve_one(sigma, rhs):
+        # op(a − σ'I) = op(a) − σI requires σ' = conj(σ) when op conjugates
+        sig = jnp.conj(sigma) if conj_a else sigma
         return jax.lax.linalg.triangular_solve(
-            a - sigma * eye, rhs[:, None], left_side=True, lower=lower,
+            a - sig * eye, rhs[:, None], left_side=True, lower=lower,
             transpose_a=trans_a, conjugate_a=conj_a)[:, 0]
 
     x = jax.vmap(solve_one, in_axes=(0, 1), out_axes=1)(shifts, b)

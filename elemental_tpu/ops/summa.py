@@ -96,7 +96,7 @@ def _pipelined_local(a_blk, b_blk, w: int):
         return (a_next, acc)
 
     acc0 = jnp.zeros((a_blk.shape[0], b_col.shape[1]), dtype=a_blk.dtype)
-    acc0 = jax.lax.pvary(acc0, ("mc", "mr"))  # mark as device-varying for scan
+    acc0 = jax.lax.pcast(acc0, ("mc", "mr"), to="varying")  # device-varying for scan
     _, acc = jax.lax.fori_loop(0, w, step, (a_blk, acc0), unroll=True)
     return acc
 
