@@ -13,3 +13,6 @@ from . import core
 from .core import (CIRC, MC, MD, MR, STAR, VC, VR, Dist, DistMatrix, Grid,
                    distribute, initialize, finalize)
 from . import ops
+from . import lapack
+from . import sparse
+from . import matrices

@@ -1,0 +1,165 @@
+"""Pallas SpMV kernels (TPU-native replacement for the reference's sparse
+``Multiply`` — the BASELINE ≥70%-SoL path).
+
+Strategy: XLA's gather is scalar on TPU, so the SoL path reshapes the vector
+into a 2D *halo panel*: x is viewed as (R rows × C lanes) and each row carries
+an H-lane halo replicating its neighbours' edge elements, so every DIA
+diagonal Δ = di·C + dj (|dj| ≤ H) becomes exactly ONE (row-shift, lane-shift)
+of the panel — no gather, no carry terms.  The kernel keeps the whole padded
+panel resident in VMEM (one HBM read of x) and streams the weight planes +
+output: ~4·S/S_nnz + 4 bytes per nonzero, within reach of HBM speed-of-light.
+
+This covers every banded/stencil matrix (PDE Laplacian/Helmholtz in any
+dimension, SuiteSparse banded instances); general unstructured rows fall back
+to the ELL path (:mod:`elemental_tpu.sparse.csr`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@dataclasses.dataclass
+class StencilPlan:
+    """y = Σ_s W[s] ∘ panelshift(x, (di_s, dj_s))."""
+
+    n: int
+    rows: int                   # R
+    cols: int                   # C (lane width)
+    halo: int                   # H lane halo
+    shifts: Tuple[Tuple[int, int], ...]
+    weights: np.ndarray         # (S, R, C) — host or device
+    nnz: int
+
+    def device(self, device=None, dtype=None) -> "StencilPlan":
+        w = np.asarray(self.weights)
+        if dtype is not None:
+            w = w.astype(dtype)
+        return dataclasses.replace(self, weights=jax.device_put(w, device))
+
+
+def plan_stencil_spmv(offsets, diags: np.ndarray, n: int, cols: int = 1024,
+                      max_halo: int = 256) -> Optional[StencilPlan]:
+    """Compile DIA (offsets, diags[d,i] = A[i,i+off_d]) into a halo-panel
+    stencil plan; None if some diagonal needs a lane shift beyond max_halo
+    (→ caller falls back to ELL)."""
+    offsets = [int(o) for o in offsets]
+    diags = np.asarray(diags)
+    R = (n + cols - 1) // cols
+
+    shifts = []
+    for off in offsets:
+        dj = ((off % cols) + cols // 2) % cols - cols // 2  # symmetric rem
+        di = (off - dj) // cols
+        shifts.append((di, dj))
+    H = max((abs(dj) for _, dj in shifts), default=0)
+    if H > max_halo:
+        return None
+    weights = np.zeros((len(offsets), R * cols), diags.dtype)
+    for d in range(len(offsets)):
+        weights[d, :n] = diags[d][:n]
+    return StencilPlan(n, R, cols, H, tuple(shifts),
+                       weights.reshape(len(offsets), R, cols), int(np.count_nonzero(weights)))
+
+
+def build_halo_panel(plan: StencilPlan, x: jnp.ndarray,
+                     pad_rows_to: int = 8) -> jnp.ndarray:
+    """x (n,) → padded panel (pt + R + pb, C + 2H), all contiguous ops."""
+    R, C, H = plan.rows, plan.cols, plan.halo
+    max_up = max(0, -min(di for di, _ in plan.shifts))
+    max_dn = max(0, max(di for di, _ in plan.shifts))
+    panel = jnp.pad(x, (0, R * C - plan.n)).reshape(R, C)
+    # extend rows FIRST so the boundary zero-rows carry their neighbours'
+    # halos (flat index k+Δ wraps into them: e.g. row −1's right halo is
+    # panel[0][:H])
+    panel = jnp.pad(panel, ((max_up, max_dn), (0, 0)))
+    re = R + max_up + max_dn
+    if H > 0:
+        shifted = jnp.pad(panel, ((1, 1), (0, 0)))
+        left = shifted[0:re, C - H:]        # row r ← row r−1 tail
+        right = shifted[2:re + 2, :H]       # row r ← row r+1 head
+        panel = jnp.concatenate([left, panel, right], axis=1)
+    pt = -(-max_up // pad_rows_to) * pad_rows_to  # sublane-aligned top pad
+    panel = jnp.pad(panel, ((pt - max_up, 0), (0, 0)))
+    # align the panel to hardware tiles (8 sublanes × 128 lanes): unaligned
+    # VMEM blocks force Mosaic into masked cross-register codegen.
+    ph = -(-panel.shape[0] // 8) * 8
+    pw = -(-panel.shape[1] // 128) * 128
+    panel = jnp.pad(panel, ((0, ph - panel.shape[0]),
+                            (0, pw - panel.shape[1])))
+    return panel, pt
+
+
+def _stencil_kernel(xpad_ref, w_ref, out_ref, *, shifts, pad_top, halo,
+                    tile_rows, cols, row_halo):
+    # One sublane-aligned load of tile+halo rows, then static register-level
+    # slices per shift (Mosaic cannot prove unaligned dynamic loads).
+    i = pl.program_id(0)
+    start = pl.multiple_of(i * tile_rows, 8)
+    big = xpad_ref[pl.ds(start, tile_rows + row_halo), :]
+    acc = jnp.zeros((tile_rows, cols), out_ref.dtype)
+    for s, (di, dj) in enumerate(shifts):
+        r0 = pad_top + di
+        c0 = halo + dj
+        xs = jax.lax.slice(big, (r0, c0), (r0 + tile_rows, c0 + cols))
+        acc = acc + w_ref[s] * xs
+    out_ref[:, :] = acc
+
+
+def stencil_spmv(plan: StencilPlan, x: jnp.ndarray,
+                 tile_rows: int = 128) -> jnp.ndarray:
+    """y = A·x via the halo-panel Pallas kernel."""
+    R, C, H = plan.rows, plan.cols, plan.halo
+    while R % tile_rows:
+        tile_rows //= 2
+    xp, pt = build_halo_panel(plan, x)
+    ph, pw = xp.shape
+    max_dn = max(0, max(di for di, _ in plan.shifts))
+    row_halo = pt + max_dn
+    S = len(plan.shifts)
+    weights = plan.weights if isinstance(plan.weights, jnp.ndarray) \
+        else jnp.asarray(plan.weights)
+
+    kernel = functools.partial(_stencil_kernel, shifts=plan.shifts,
+                               pad_top=pt, halo=H, tile_rows=tile_rows,
+                               cols=C, row_halo=row_halo)
+    out = pl.pallas_call(
+        kernel,
+        grid=(R // tile_rows,),
+        in_specs=[
+            # whole padded panel resident in VMEM across grid steps
+            pl.BlockSpec((ph, pw), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, tile_rows, C), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_rows, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, C), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * plan.nnz,
+            bytes_accessed=(S * R * C + 2 * R * C) * x.dtype.itemsize,
+            transcendentals=0),
+    )(xp, weights)
+    return out.reshape(-1)[:plan.n]
+
+
+def stencil_spmv_from_csr(A, cols: int = 1024):
+    """CSR → (plan, jitted matvec) convenience; None if not stencil-shaped."""
+    from ..sparse.dia import to_dia
+    dia = to_dia(A)
+    if dia is None:
+        return None
+    plan = plan_stencil_spmv(dia.offsets, dia.diags, A.height, cols)
+    if plan is None:
+        return None
+    return plan

@@ -1,0 +1,10 @@
+"""Sparse tier (reference MISSING tier-3 containers + kernels; SURVEY §2.3
+'Sparse kernels' row and §0 consequence note)."""
+
+from .csr import (BSRDevice, BSRMatrix, CSRDevice, ELLMatrix, Graph,
+                  SparseBuilder, SparseMatrix)
+from .distsparse import (DistGraph, DistMap, DistMultiVec, DistSparseMatrix)
+from .matmul import (GalerkinPlan, SpGEMMPlan, galerkin_plan, multiply,
+                     spgemm, spgemm_plan, syrk_sparse)
+from .io import (MPSData, read_matrix_market, read_mps, write_matrix_market)
+from .dia import DIAMatrix, best_device_format, to_dia
