@@ -1,0 +1,128 @@
+"""Sparse-direct facade (reference ``(Dist)SparseLDLFactorization``:
+``DistSparseLDLFactorization.cpp:53-268`` — Initialize / Factor / Solve /
+SolveWithIterativeRefinement / ChangeNonzeroValues / MultiplyWithL)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..sparse.csr import SparseMatrix
+from .symbolic import SymbolicFactorization, analyze
+from .numeric import LDLFactorization, factor
+
+
+class SparseLDLFactorization:
+    """Supernodal multifrontal LDLᵀ/LDLᴴ solver.
+
+    Usage mirrors the reference (``tests/lapack_like/SparseLDL.cpp:50-210``):
+
+        f = SparseLDLFactorization()
+        f.initialize(A, hermitian=False)   # ordering + symbolic (host)
+        f.factor()                         # numeric (device, level-batched)
+        x = f.solve(b)
+        f.change_nonzero_values(new_vals)  # reuse symbolic; refactor
+    """
+
+    def __init__(self):
+        self.A: Optional[SparseMatrix] = None
+        self.symb: Optional[SymbolicFactorization] = None
+        self.numeric: Optional[LDLFactorization] = None
+        self.hermitian = False
+        self._reg: Optional[np.ndarray] = None
+        self._dtype = jnp.float64
+
+    # -- lifecycle ----------------------------------------------------------
+    def initialize(self, A: SparseMatrix, hermitian: bool = False,
+                   perm: Optional[np.ndarray] = None, relax: int = 8,
+                   cutoff: int = 64) -> "SparseLDLFactorization":
+        """Ordering + symbolic analysis (reference ``Initialize`` →
+        ``NestedDissection`` + ``Analysis``)."""
+        self.A = A
+        self.hermitian = hermitian
+        self._dtype = (jnp.complex128 if np.iscomplexobj(A.vals)
+                       else jnp.float64)
+        if perm is None:
+            from .ordering import nested_dissection
+            perm = nested_dissection(A, cutoff=cutoff)
+        self.symb = analyze(A, perm=perm, relax=relax)
+        return self
+
+    @property
+    def initialized(self) -> bool:
+        return self.symb is not None
+
+    @property
+    def factored(self) -> bool:
+        return self.numeric is not None
+
+    def factor(self, reg: Optional[np.ndarray] = None
+               ) -> "SparseLDLFactorization":
+        """Numeric factorization (reference ``Factor``; ``reg`` enables the
+        RegularizedLDL path: A + diag(reg) is factored, solves against A use
+        iterative refinement)."""
+        assert self.symb is not None, "call initialize() first"
+        self._reg = reg
+        self.numeric = factor(self.symb, self.A.vals,
+                              conjugate=self.hermitian, reg=reg,
+                              dtype=self._dtype)
+        return self
+
+    def change_nonzero_values(self, new_vals) -> "SparseLDLFactorization":
+        """Same structure, new values → refactor reusing the symbolic plan
+        (reference ``ChangeNonzeroValues``)."""
+        assert self.A is not None
+        self.A = self.A.change_nonzero_values(np.asarray(new_vals))
+        if self.numeric is not None:
+            self.factor(self._reg)
+        return self
+
+    # -- solves ---------------------------------------------------------------
+    def solve(self, b):
+        assert self.numeric is not None, "call factor() first"
+        return self.numeric.solve(b)
+
+    def solve_with_iterative_refinement(self, b, iters: int = 6):
+        assert self.numeric is not None
+        dev = self.A.device_csr()
+        apply_a = (lambda x: dev.matmat(x) if x.ndim > 1 else dev.matvec(x))
+        return self.numeric.solve_with_iterative_refinement(apply_a, b,
+                                                            iters)
+
+    def multiply_with_l(self, x, adjoint: bool = False):
+        assert self.numeric is not None
+        return self.numeric.multiply_with_l(x, adjoint)
+
+    def diagonal(self):
+        assert self.numeric is not None
+        return self.numeric.d
+
+    def inertia(self):
+        assert self.numeric is not None
+        return self.numeric.inertia()
+
+    def factor_nnz(self) -> int:
+        assert self.symb is not None
+        return self.symb.nnz_factor
+
+    def factor_gflops(self) -> float:
+        """Flop estimate of the factorization (reference
+        ``LocalFactorGFlops`` accounting, ``SparseLDL.cpp:143-169``)."""
+        assert self.symb is not None
+        total = 0.0
+        for sn in self.symb.supernodes:
+            ns = sn.cols[1] - sn.cols[0]
+            nr = len(sn.struct)
+            s = ns + nr
+            for k in range(ns):
+                total += 2.0 * (s - k) ** 2
+        return total / 1e9
+
+
+# Distributed alias: the level-batched executor is a single SPMD program —
+# sharding the pool over a mesh (subtree-to-subteam) is the round-2 extension;
+# semantics match the reference's DistSparseLDLFactorization.
+DistSparseLDLFactorization = SparseLDLFactorization

@@ -1,0 +1,55 @@
+"""ctypes bridge to the native C++ symbolic kernels
+(``elemental_tpu/native/symbolic.cpp``: quotient-graph minimum degree — the
+SuiteSparse-AMD slot, reference §2.6 item 2).  Falls back to NumPy
+implementations when the shared library hasn't been built."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.path.join(os.path.dirname(__file__), "..", "native",
+                        "libelemental_native.so")
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        lib = ctypes.CDLL(path)
+        lib.el_minimum_degree.restype = ctypes.c_int
+        lib.el_minimum_degree.argtypes = [
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+        ]
+        _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def minimum_degree(adj: List[np.ndarray]) -> np.ndarray:
+    lib = _load()
+    n = len(adj)
+    rowptr = np.zeros(n + 1, np.int64)
+    for i, a in enumerate(adj):
+        rowptr[i + 1] = rowptr[i] + len(a)
+    colind = (np.concatenate(adj) if n and rowptr[-1] else
+              np.zeros(0, np.int64)).astype(np.int64)
+    perm = np.zeros(n, np.int64)
+    rc = lib.el_minimum_degree(n, rowptr, colind, perm)
+    if rc != 0:
+        raise RuntimeError(f"el_minimum_degree failed: {rc}")
+    return perm
