@@ -16,3 +16,8 @@ from . import ops
 from . import lapack
 from . import sparse
 from . import matrices
+from . import sparse_direct
+from . import optimization
+from . import control
+from . import io
+from . import kernels

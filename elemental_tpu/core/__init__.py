@@ -18,3 +18,5 @@ from .profiling import (enable_profiling, enable_sync_profiling,
                         stage_times)
 from .types import (complex_type, epsilon, is_complex, real_type, safe_min)
 from . import random_ as random
+from . import flamepart
+from .proxy import ReadProxy, ReadWriteProxy

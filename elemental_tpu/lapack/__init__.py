@@ -34,3 +34,4 @@ from .perm import (Permutation, permutation_to_pivots, pivots_to_permutation)
 from .reflect import (apply_packed_reflectors, expand_packed_reflectors,
                       householder, hyperbolic_reflector)
 from .util import median, pivot_parity, sort, tagged_sort
+from .tridiag_eig import tridiag_eig, tridiag_eigvalsh

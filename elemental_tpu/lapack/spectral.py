@@ -77,17 +77,28 @@ def skew_hermitian_eig(uplo: str, A: Arr, vectors: bool = True) -> EigPair:
 
 
 def hermitian_tridiag_eig(d: jnp.ndarray, e: jnp.ndarray,
-                          vectors: bool = True):
+                          vectors: bool = True, alg: str = "dense",
+                          select=None):
     """Symmetric tridiagonal eigensolver (the PMRRR slot, reference
-    ``herm_tridiag_eig`` / external ``pmrrr``).  Eigenvalues via the dense
-    fused path; eigenvectors via one step of shifted inverse iteration per
-    eigenvalue (vmapped batch of tridiagonal solves) + Gram-Schmidt within
-    clusters — the MRRR division of labor re-expressed for batch hardware."""
+    ``herm_tridiag_eig`` / external ``pmrrr``).
+
+    ``alg='dense'`` — densify + fused ``eigh`` (best ≲ 2k);
+    ``alg='mrrr'``  — batched bisection + vmapped inverse iteration
+    (:mod:`.tridiag_eig`), O(n²) with subset support like PMRRR."""
+    if alg == "mrrr":
+        from .tridiag_eig import tridiag_eig, tridiag_eigvalsh
+        if not vectors:
+            return tridiag_eigvalsh(d, e, select), None
+        return tridiag_eig(d, e, select)
     n = d.shape[0]
     T = jnp.diag(d) + jnp.diag(e, -1) + jnp.diag(e, 1)
     if not vectors:
-        return jnp.linalg.eigvalsh(T), None
+        w = jnp.linalg.eigvalsh(T)
+        return (w if select is None else w[select[0]:select[1] + 1]), None
     w, z = jnp.linalg.eigh(T)
+    if select is not None:
+        w = w[select[0]:select[1] + 1]
+        z = z[:, select[0]:select[1] + 1]
     return w, z
 
 

@@ -7,3 +7,4 @@ from .level3 import (gemm, hemm, her2k, herk, multishift_trsm, quasi_trsm,
                      symm, syr2k, syrk, trmm, trr2k, trrk, trsm,
                      twosided_trmm, twosided_trsm)
 from . import summa
+from .gemm3d import gemm_3d, make_3d_mesh

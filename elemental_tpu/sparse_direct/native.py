@@ -20,9 +20,17 @@ def _load():
     if _TRIED:
         return _LIB
     _TRIED = True
-    path = os.path.join(os.path.dirname(__file__), "..", "native",
-                        "libelemental_native.so")
-    path = os.path.abspath(path)
+    nat_dir = os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
+                                           "native"))
+    path = os.path.join(nat_dir, "libelemental_native.so")
+    if not os.path.exists(path):
+        # build on first use (toolchain is a hard prerequisite of the repo)
+        import subprocess
+        try:
+            subprocess.run(["make", "-C", nat_dir], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            pass
     if os.path.exists(path):
         lib = ctypes.CDLL(path)
         lib.el_minimum_degree.restype = ctypes.c_int
