@@ -8,3 +8,4 @@ from .level3 import (gemm, hemm, her2k, herk, multishift_trsm, quasi_trsm,
                      twosided_trmm, twosided_trsm)
 from . import summa
 from .gemm3d import gemm_3d, make_3d_mesh
+from .level3 import hermitian_from_evd, normal_from_evd, set_matmul_precision

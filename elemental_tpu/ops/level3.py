@@ -187,10 +187,11 @@ def trr2k(uplo: str, oA: str, oB: str, oC: str, oD: str, alpha, A: Arr,
     d = _orient(as_array(D), oD)
     e = as_array(E)
     prod = alpha * (a @ b) + beta * (c @ d)
+    # update the named triangle; leave the other untouched
     if uplo.upper().startswith("L"):
-        out = jnp.tril(prod + gamma * e) + jnp.triu(e, 1) * gamma
+        out = jnp.tril(prod + gamma * e) + jnp.triu(e, 1)
     else:
-        out = jnp.triu(prod + gamma * e) + jnp.tril(e, -1) * gamma
+        out = jnp.triu(prod + gamma * e) + jnp.tril(e, -1)
     return like(E, out)
 
 
@@ -359,3 +360,18 @@ def twosided_trmm(uplo: str, diag: str, A: Arr, B: Arr,
     else:
         out = l @ a @ adj(l)
     return like(A, out)
+
+
+def hermitian_from_evd(uplo: str, w, Z: Arr) -> Arr:
+    """A := Z·diag(w)·Zᴴ (reference ``HermitianFromEVD``)."""
+    z = as_array(Z)
+    w = jnp.asarray(w)
+    a = (z * w[None, :].astype(z.dtype)) @ jnp.conj(z.T)
+    return like(Z, _mask_tri(a, uplo) if uplo else a)
+
+
+def normal_from_evd(w, Z: Arr) -> Arr:
+    """A := Z·diag(w)·Zᴴ with complex w (reference ``NormalFromEVD``)."""
+    z = as_array(Z)
+    w = jnp.asarray(w)
+    return like(Z, (z * w[None, :]) @ jnp.conj(z.T))

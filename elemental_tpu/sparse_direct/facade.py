@@ -34,6 +34,8 @@ class SparseLDLFactorization:
         self.hermitian = False
         self._reg: Optional[np.ndarray] = None
         self._dtype = jnp.float64
+        self._factor_jit = None
+        self._solve_jit = {}
 
     # -- lifecycle ----------------------------------------------------------
     def initialize(self, A: SparseMatrix, hermitian: bool = False,
@@ -49,6 +51,8 @@ class SparseLDLFactorization:
             from .ordering import nested_dissection
             perm = nested_dissection(A, cutoff=cutoff)
         self.symb = analyze(A, perm=perm, relax=relax)
+        self._factor_jit = None
+        self._solve_jit = {}
         return self
 
     @property
@@ -66,9 +70,24 @@ class SparseLDLFactorization:
         iterative refinement)."""
         assert self.symb is not None, "call initialize() first"
         self._reg = reg
-        self.numeric = factor(self.symb, self.A.vals,
-                              conjugate=self.hermitian, reg=reg,
-                              dtype=self._dtype)
+        # one jitted program for the whole level loop: the tree walk's many
+        # small ops otherwise dispatch one by one (painful on remote devices)
+        import jax
+        if self._factor_jit is None:
+            symb, conj, dt = self.symb, self.hermitian, self._dtype
+            use_reg = reg is not None
+
+            def _do(vals, regv):
+                num = factor(symb, vals, conjugate=conj,
+                             reg=regv if use_reg else None, dtype=dt)
+                return num.pool, num.d
+
+            self._factor_jit = jax.jit(_do)
+        regv = (jnp.asarray(np.zeros(self.symb.n) if reg is None else reg)
+                )
+        pool, d = self._factor_jit(jnp.asarray(self.A.vals, self._dtype),
+                                   regv)
+        self.numeric = LDLFactorization(self.symb, pool, d, self.hermitian)
         return self
 
     def change_nonzero_values(self, new_vals) -> "SparseLDLFactorization":
@@ -83,7 +102,17 @@ class SparseLDLFactorization:
     # -- solves ---------------------------------------------------------------
     def solve(self, b):
         assert self.numeric is not None, "call factor() first"
-        return self.numeric.solve(b)
+        import jax
+        b = jnp.asarray(b)
+        key = (b.shape, str(b.dtype))
+        if key not in self._solve_jit:
+            symb, conj = self.symb, self.hermitian
+
+            def _do(pool, d, bb):
+                return LDLFactorization(symb, pool, d, conj).solve(bb)
+
+            self._solve_jit[key] = jax.jit(_do)
+        return self._solve_jit[key](self.numeric.pool, self.numeric.d, b)
 
     def solve_with_iterative_refinement(self, b, iters: int = 6):
         assert self.numeric is not None

@@ -185,7 +185,7 @@ def factor(symb: SymbolicFactorization, a_vals, conjugate: bool = False,
             pool = pool.at[jnp.asarray(lev.asm_dst)].add(
                 a_vals[jnp.asarray(lev.asm_src)])
         if reg is not None and lev.diag_dst.size:
-            regp = jnp.asarray(np.asarray(reg)[symb.perm], dtype)
+            regp = jnp.asarray(reg, dtype)[jnp.asarray(symb.perm)]
             pool = pool.at[jnp.asarray(lev.diag_dst)].add(
                 regp[jnp.asarray(lev.diag_cols)])
 

@@ -1,0 +1,6 @@
+"""Make examples runnable from a source checkout without installation."""
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
