@@ -17,6 +17,8 @@ from .solve import (KrylovResult, cg, fgmres, gmres, hermitian_solve, lgmres,
 from .condense import (Bidiag, Hess, Tridiag, bidiag, hermitian_tridiag,
                        hessenberg)
 from .spectral import (EigPair, SVD, Schur, eig, hermitian_eig,
+                       lanczos, lanczos_decomp, product_lanczos,
+                       extremal_singular_value_estimates,
                        hermitian_tridiag_eig, hermitian_tridiag_eig_estimate,
                        polar, pseudospectra, schur, secular_evd,
                        singular_values, skew_hermitian_eig, svd, triang_eig)

@@ -269,3 +269,96 @@ def secular_evd(d: jnp.ndarray, rho, z: jnp.ndarray, iters: int = 50):
 
     lo, hi = jax.lax.fori_loop(0, iters, body, (lo + 1e-12, hi - 1e-12))
     return (lo + hi) / 2
+
+
+def lanczos(n, apply_a, basis_size: int = 20, v0=None,
+            dtype=jnp.float64):
+    """Lanczos tridiagonalization of a Hermitian operator given only a
+    matvec (reference ``include/El/lapack_like/spectral/Lanczos.hpp:34``:
+    used for rough extremal-eigenvalue estimates when scaling augmented
+    systems).  Runs a fixed ``basis_size``-step recurrence under ``lax.scan``
+    (compiler-friendly: no data-dependent early exit; a vanishing residual
+    simply freezes the recurrence), returning the real symmetric tridiagonal
+    T."""
+    V, T, _, _ = lanczos_decomp(n, apply_a, basis_size, v0, dtype)
+    return T
+
+
+def lanczos_decomp(n, apply_a, basis_size: int = 20, v0=None,
+                   dtype=jnp.float64):
+    """Lanczos decomposition A·V ≈ V·T + β·v·e_kᵀ (reference
+    ``Lanczos.hpp:102`` ``LanczosDecomp``).  Returns ``(V, T, v, beta)``
+    with V n×k orthonormal, T k×k tridiagonal."""
+    k = int(min(n, basis_size))
+    if v0 is None:
+        from ..core import random_ as rng
+        v0 = rng.gaussian((n,), dtype)
+    v0 = jnp.asarray(v0, dtype)
+    v0 = v0 / jnp.linalg.norm(v0)
+    eps = jnp.finfo(jnp.zeros((), dtype).real.dtype).eps
+
+    def step(carry, _):
+        v_km1, v_k, beta_km1, alive = carry
+        w = apply_a(v_k)
+        alpha = jnp.real(jnp.vdot(v_k, w))
+        w = w - alpha * v_k - beta_km1 * v_km1
+        beta = jnp.linalg.norm(w)
+        ok = (beta > eps) & alive
+        v_next = jnp.where(ok, w / jnp.where(beta == 0, 1.0, beta), 0.0)
+        out = (v_k, jnp.where(alive, alpha, 0.0),
+               jnp.where(ok, beta, 0.0))
+        return (v_k, v_next, jnp.where(ok, beta, 0.0), ok), out
+
+    init = (jnp.zeros(n, dtype), v0, jnp.zeros((), dtype).real, True)
+    (_, v_last, beta_last, _), (Vs, alphas, betas) = jax.lax.scan(
+        step, init, None, length=k)
+    T = jnp.diag(alphas) + jnp.diag(betas[:-1], 1) + jnp.diag(betas[:-1], -1)
+    return Vs.T, T, v_last, beta_last
+
+
+def product_lanczos(A, basis_size: int = 20, dtype=jnp.float64):
+    """Lanczos on the Gram operator AᴴA (m ≥ n) or AAᴴ (reference
+    ``spectral/ProductLanczos.hpp``; the two-norm/condition estimator for
+    the IPM's augmented systems).  ``A`` may be dense or any object with
+    ``matvec``/``rmatvec``-style application."""
+    if hasattr(A, "device_csr") and not hasattr(A, "matvec"):
+        A = A.device_csr()  # host SparseMatrix → device CSR operator
+    if hasattr(A, "matvec"):
+        m, n = A.height, A.width
+        av = A.matvec
+        ah = getattr(A, "rmatvec", None)
+        if ah is None and hasattr(A, "transpose"):
+            AH = A.transpose()
+            ah = lambda x: jnp.conj(AH.matvec(jnp.conj(x)))
+        if ah is None and hasattr(A, "rows") and hasattr(A, "colind"):
+            # adjoint via the explicit transpose of the device triplets
+            import dataclasses as _dc
+            AH = _dc.replace(A, height=A.width, width=A.height,
+                             rows=A.colind, colind=A.rows,
+                             vals=jnp.conj(A.vals))
+            ah = AH.matvec
+        if ah is None:
+            raise ValueError("operator must provide an adjoint application")
+    else:
+        A = jnp.asarray(A)
+        m, n = A.shape
+        av = lambda x: A @ x
+        ah = lambda x: jnp.conj(A.T) @ x
+    if m >= n:
+        apply_g = lambda x: ah(av(x))
+        dim = n
+    else:
+        apply_g = lambda x: av(ah(x))
+        dim = m
+    return lanczos(dim, apply_g, basis_size, dtype=dtype)
+
+
+def extremal_singular_value_estimates(A, basis_size: int = 20,
+                                      dtype=jnp.float64):
+    """(σ_min, σ_max) estimates from product-Lanczos Ritz values (the use
+    the reference puts ``ProductLanczos`` to in its augmented-system
+    scaling)."""
+    T = product_lanczos(A, basis_size, dtype)
+    ritz = jnp.linalg.eigvalsh(T)
+    ritz = jnp.clip(ritz, 0.0, None)
+    return jnp.sqrt(ritz[0]), jnp.sqrt(ritz[-1])

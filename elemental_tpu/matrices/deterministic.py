@@ -271,3 +271,199 @@ def dynamic_regularization_counter(n, dtype=jnp.float64):
         k, dtype=dtype)
     eye = jnp.eye(k, dtype=dtype)
     return jnp.block([[g, eye], [eye, eye]])
+
+
+def cauchy_like(r, s, x, y):
+    """Cauchy-like matrix A(i,j) = r_i·s_j/(x_i − y_j) (reference
+    ``deterministic/classical/CauchyLike.cpp``)."""
+    r = jnp.asarray(r)[:, None]
+    s = jnp.asarray(s)[None, :]
+    x = jnp.asarray(x)[:, None]
+    y = jnp.asarray(y)[None, :]
+    return r * s / (x - y)
+
+
+def gks(n, dtype=jnp.float64):
+    """Golub–Klema–Stewart upper-triangular matrix: A(j,j)=1/√(j+1),
+    A(i,j)=−1/√(j+1) for i<j (reference ``misc/GKS.cpp``)."""
+    i, j = _ij(n)
+    col = 1.0 / jnp.sqrt(jnp.arange(1, n + 1).astype(dtype))[None, :]
+    return jnp.where(i < j, -col, jnp.where(i == j, col, 0.0)).astype(dtype)
+
+
+def legendre(n, dtype=jnp.float64):
+    """Jacobi (Golub–Welsch) tridiagonal whose eigenvalues are the
+    Gauss–Legendre nodes: off-diagonal β_j = 1/(2√(1−(2(j+1))⁻²))
+    (reference ``misc/Legendre.cpp``)."""
+    j = jnp.arange(1, n).astype(dtype)
+    beta = 0.5 / jnp.sqrt(1.0 - 1.0 / (2.0 * j) ** 2)
+    return jnp.diag(beta, 1) + jnp.diag(beta, -1)
+
+
+def extended_kahan(k, phi, mu, dtype=jnp.float64):
+    """Extended Kahan matrix of order n=3·2^k: S·K with K built from
+    Walsh blocks and S = diag(ζ^i), ζ=√(1−φ²) (reference
+    ``misc/ExtendedKahan.cpp``; QR-pivoting stress test)."""
+    if not (0 < phi < 1) or not (0 < mu < 1):
+        raise ValueError("phi and mu must be in (0,1)")
+    ell = 1 << k
+    n = 3 * ell
+    A = jnp.eye(n, dtype=dtype)
+    W = walsh(k).astype(dtype) if k > 0 else jnp.ones((1, 1), dtype)
+    A = A.at[2 * ell:, 2 * ell:].multiply(mu)
+    A = A.at[:ell, ell:2 * ell].set(-phi * W)
+    A = A.at[ell:2 * ell, 2 * ell:].set(phi * W)
+    zeta = np.sqrt(1.0 - phi * phi)
+    gamma = jnp.power(jnp.asarray(zeta, dtype), jnp.arange(n).astype(dtype))
+    return gamma[:, None] * A
+
+
+def gepp_growth(n, dtype=jnp.float64):
+    """Wilkinson's GEPP worst-case growth matrix: identity, last column of
+    ones, all subdiagonals −1 (reference ``misc/GEPPGrowth.cpp``)."""
+    i, j = _ij(n)
+    A = jnp.where(i == j, 1.0, jnp.where(i > j, -1.0, 0.0)).astype(dtype)
+    return A.at[:, n - 1].set(1.0)
+
+
+def jordan_cholesky(n, dtype=jnp.float64):
+    """Tridiagonal [2,5,2] with A(0,0)=1, whose Cholesky factor is a scaled
+    Jordan block (reference ``misc/JordanCholesky.cpp``)."""
+    A = 5.0 * jnp.eye(n, dtype=dtype) + 2.0 * (
+        jnp.eye(n, k=1, dtype=dtype) + jnp.eye(n, k=-1, dtype=dtype))
+    return A.at[0, 0].set(1.0) if n > 0 else A
+
+
+def druinsky_toledo(k, dtype=jnp.float64):
+    """Druinsky–Toledo counterexample of order n=2k for Bunch–Kaufman growth
+    (reference ``misc/DruinskyToledo.cpp``)."""
+    n = 2 * k
+    if k == 0:
+        return jnp.zeros((0, 0), dtype)
+    if k == 1:
+        return jnp.ones((n, n), dtype)
+    eps = np.finfo(np.dtype(dtype)).eps
+    phi = 1.0 + 4.0 * eps
+    alpha_phi = (1.0 + np.sqrt(17.0)) / 8.0 * phi
+    d = np.empty(k - 2)
+    sigma = 1.0
+    for i in range(k - 2):
+        d[i] = -alpha_phi / sigma
+        sigma -= 1.0 / d[i]
+    A = jnp.zeros((n, n), dtype)
+    A = A.at[k - 2:k, :k].set(1.0)   # G_BL rows of ones
+    A = A.at[:k, k - 2:k].set(1.0)   # G_TR cols of ones
+    A = A.at[:k - 2, :k - 2].set(jnp.diag(jnp.asarray(d, dtype)))
+    eye = jnp.eye(k, dtype=dtype)
+    A = A.at[k:, :k].set(eye)
+    A = A.at[:k, k:].set(eye)
+    A = A.at[k:, k:].set(eye)
+    return A
+
+
+def _log_binomial(n):
+    """log(choose(n,k)) for k=0..n (reference ``random/impl.hpp:69``)."""
+    from scipy.special import gammaln
+    k = np.arange(n + 1)
+    return gammaln(n + 1) - gammaln(k + 1) - gammaln(n - k + 1)
+
+
+def _log_eulerian(n):
+    """log of Eulerian numbers A(n,j), j=0..n−1 (reference
+    ``random/impl.hpp:87``), via the stable log-space recurrence."""
+    euler = np.zeros(n)
+    for j in range(1, n):
+        new = euler.copy()
+        for kk in range(1, j):
+            new[kk] = np.logaddexp(np.log(kk + 1) + euler[kk],
+                                   np.log(j - kk + 1) + euler[kk - 1])
+        euler = new
+    return euler
+
+
+def riffle(n, dtype=jnp.float64):
+    """Gilbert–Shannon–Reeds riffle-shuffle transition matrix:
+    P(i,j) = 2^{−n}·C(n+1, 2i−j+1)·α_{j+1}/α_{i+1} (reference
+    ``misc/Riffle.cpp``; Diaconis–Fulman spectral demo)."""
+    lb = _log_binomial(n + 1)
+    le = _log_eulerian(n)
+    i, j = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    k = 2 * i - j + 1
+    valid = (k >= 0) & (k <= n + 1)
+    P = np.where(valid,
+                 np.exp(lb[np.clip(k, 0, n + 1)] - n * np.log(2.0)
+                        + le[j] - le[i]),
+                 0.0)
+    return jnp.asarray(P, dtype)
+
+
+def riffle_stationary(n, dtype=jnp.float64):
+    """Stationary distribution of the riffle chain, replicated over rows
+    (reference ``RiffleStationary``)."""
+    sigma = np.zeros(n)
+    sigma[0] = 1.0
+    for j in range(1, n):
+        new = sigma.copy()
+        for kk in range(1, j + 1):
+            new[kk] = (kk + 1) * sigma[kk] + (j - kk + 1) * sigma[kk - 1]
+        sigma = new / (j + 1)
+    return jnp.broadcast_to(jnp.asarray(sigma, dtype), (n, n))
+
+
+def riffle_decay(n, dtype=jnp.float64):
+    """P − P∞: the decaying part of the riffle chain (reference
+    ``RiffleDecay``)."""
+    return riffle(n, dtype) - riffle_stationary(n, dtype)
+
+
+def _banded_complex(n, bands, dtype=jnp.complex128):
+    out = jnp.zeros((n, n), dtype)
+    i, j = _ij(n)
+    for off, val in bands:
+        out = out + jnp.where(j - i == off, val, 0.0).astype(dtype)
+    return out
+
+
+def bulls_head(n, dtype=jnp.complex128):
+    """Bull's-head banded Toeplitz (symbol 2i·z⁻¹ + z² + 7/10·z³;
+    reference ``sparse_toeplitz/BullsHead.cpp``)."""
+    if n < 4:
+        raise ValueError("BullsHead needs n ≥ 4 for its third-order symbol")
+    return _banded_complex(n, [(1, 2j), (-2, 1.0), (-3, 0.7)], dtype)
+
+
+def whale(n, dtype=jnp.complex128):
+    """Whale banded Toeplitz, a fourth-order pseudospectra demo symbol
+    (reference ``sparse_toeplitz/Whale.cpp``)."""
+    if n < 5:
+        raise ValueError("Whale needs n ≥ 5 for its fourth-order symbol")
+    return _banded_complex(
+        n, [(4, -1.0), (3, -3.0 - 2.0j), (2, 1.0j), (1, 1.0),
+            (-1, 10.0), (-2, 3.0 + 1.0j), (-3, 4.0), (-4, 1.0j)], dtype)
+
+
+def tri_w(n, alpha, k, dtype=jnp.float64):
+    """Upper-triangular Toeplitz with unit diagonal and k superdiagonals of
+    α (reference ``sparse_toeplitz/TriW.cpp``)."""
+    if k < 0:
+        raise ValueError("k must be non-negative")
+    i, j = _ij(n)
+    d = j - i
+    A = jnp.where((d >= 1) & (d <= k), alpha, 0.0).astype(dtype)
+    return A + jnp.eye(n, dtype=dtype)
+
+
+def fox_li(n, omega, dtype=jnp.complex128):
+    """Fox–Li laser cavity integral operator discretized by Gauss–Legendre
+    quadrature: A(i,j) = √(iω/π)·exp(−iω(x_i−x_j)²)·√(w_i w_j) (reference
+    ``integral/FoxLi.cpp``; the quadrature tridiagonal there is the
+    Golub–Welsch Legendre matrix, so nodes/weights come from
+    ``leggauss``)."""
+    x, w = np.polynomial.legendre.leggauss(n)
+    phi = complex(np.sqrt(1j * omega / np.pi))
+    real_dt = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+    sq = jnp.asarray(np.sqrt(w), real_dt)
+    xs = jnp.asarray(x, real_dt)
+    theta = -omega * (xs[:, None] - xs[None, :]) ** 2
+    A = phi * jnp.exp(1j * theta).astype(dtype)
+    return (sq[:, None] * A * sq[None, :]).astype(dtype)

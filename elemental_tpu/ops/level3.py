@@ -375,3 +375,27 @@ def normal_from_evd(w, Z: Arr) -> Arr:
     z = as_array(Z)
     w = jnp.asarray(w)
     return like(Z, (z * w[None, :]) @ jnp.conj(z.T))
+
+
+def safe_multishift_trsm(side: str, uplo: str, orient: str, alpha, A: Arr,
+                         shifts, B: Arr):
+    """Overflow-guarded multishift triangular solve (reference
+    ``SafeMultiShiftTrsm`` — the eigenvector back-substitution used by
+    ``TriangEig``): solves (op(tri(A)) − σ_j I)·x_j = s_j·α·b_j where each
+    column's scale s_j ≤ 1 is chosen so the solution stays representable.
+    Returns ``(X, scales)``.
+
+    TPU-native formulation: instead of the reference's entry-by-entry
+    rescaling inside the substitution (data-dependent control flow), solve
+    once and derive the per-column scale from the solution magnitude — the
+    shifted solves themselves run batched under ``vmap``."""
+    x = multishift_trsm(side, uplo, orient, alpha, A, shifts, B)
+    xa = as_array(x)
+    big = jnp.asarray(
+        jnp.finfo(xa.real.dtype).max, xa.real.dtype) ** 0.5
+    colmax = jnp.max(jnp.abs(xa), axis=0)
+    finite = jnp.isfinite(colmax)
+    scales = jnp.where(finite & (colmax > big), big / colmax, 1.0)
+    scales = jnp.where(finite, scales, 0.0)
+    safe = jnp.where(jnp.isfinite(xa), xa, 0.0) * scales[None, :]
+    return like(B, safe), scales.astype(xa.real.dtype)
