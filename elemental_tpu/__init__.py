@@ -21,3 +21,5 @@ from . import optimization
 from . import control
 from . import io
 from . import kernels
+from . import extended
+from .extended import DD
