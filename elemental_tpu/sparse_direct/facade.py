@@ -27,7 +27,15 @@ class SparseLDLFactorization:
         f.change_nonzero_values(new_vals)  # reuse symbolic; refactor
     """
 
-    def __init__(self):
+    def __init__(self, mesh=None, tree_axis=None, spd=False):
+        # mesh: optional jax.sharding.Mesh — subtree-to-device sharding of
+        # each level's front batch (reference subtree→subteam mapping)
+        self.mesh = mesh
+        self.tree_axis = tree_axis
+        # spd: use the Cholesky fast path (batched XLA chol+trsm+matmul per
+        # level) — valid when A is HPD (reference front type SYMM/LDL on an
+        # HPD matrix)
+        self.spd = spd
         self.A: Optional[SparseMatrix] = None
         self.symb: Optional[SymbolicFactorization] = None
         self.numeric: Optional[LDLFactorization] = None
@@ -77,9 +85,12 @@ class SparseLDLFactorization:
             symb, conj, dt = self.symb, self.hermitian, self._dtype
             use_reg = reg is not None
 
+            mesh, taxis, spd = self.mesh, self.tree_axis, self.spd
+
             def _do(vals, regv):
                 num = factor(symb, vals, conjugate=conj,
-                             reg=regv if use_reg else None, dtype=dt)
+                             reg=regv if use_reg else None, dtype=dt,
+                             mesh=mesh, tree_axis=taxis, spd=spd)
                 return num.pool, num.d
 
             self._factor_jit = jax.jit(_do)

@@ -56,6 +56,101 @@ def _masked_partial_ldl(F: jnp.ndarray, ns: jnp.ndarray, max_ns: int,
     return jax.lax.fori_loop(0, max_ns, body, F)
 
 
+def _masked_partial_ldl_blocked(F: jnp.ndarray, ns: jnp.ndarray,
+                                max_ns: int, conjugate: bool,
+                                nb: int = 32):
+    """Blocked right-looking variant of :func:`_masked_partial_ldl`
+    (reference ``ProcessFront.hpp:29-60``: blocked LDL + Trsm + rank-k).
+
+    Per nb-column panel: eliminate within the S×nb panel with rank-1 VPU
+    updates, then apply the trailing rank-nb update as ONE S×S matmul — the
+    MXU does the O(S²·nb) work the sequential variant spends in S² outer
+    products.  Identical update domain to the rank-1 version (every (i,j)
+    with i,j > pivot), so Schur extend-add semantics are unchanged."""
+    S = F.shape[0]
+    nb = max(1, min(nb, max_ns))
+    npan = -(-max_ns // nb)
+    Sp = max(S, npan * nb)
+    if Sp != S:
+        F = jnp.pad(F, ((0, Sp - S), (0, Sp - S)))
+    idx = jnp.arange(Sp)
+    tpan = jnp.arange(nb)
+
+    def panel_body(p, F):
+        j0 = p * nb
+
+        def inner(kk, Fp):
+            k = j0 + kk
+            elim = k < ns
+            dk = Fp[k, kk]
+            safe = jnp.where(dk == 0, jnp.ones((), Fp.dtype), dk)
+            col = jnp.where((idx > k) & elim, Fp[:, kk] / safe, 0.0)
+            # within-panel trailing update needs L at the panel pivot rows
+            colp = jax.lax.dynamic_slice(col, (j0,), (nb,))
+            rowvec = jnp.where(tpan > kk, colp, 0.0)
+            rowvec = jnp.conj(rowvec) if conjugate else rowvec
+            Fp = Fp - jnp.outer(col, rowvec) * dk
+            Fp = Fp.at[:, kk].set(jnp.where((idx > k) & elim, col,
+                                            Fp[:, kk]))
+            Fp = Fp.at[k, kk].set(dk)
+            return Fp
+
+        Fp = jax.lax.dynamic_slice(F, (0, j0), (Sp, nb))
+        Fp = jax.lax.fori_loop(0, nb, inner, Fp)
+        F = jax.lax.dynamic_update_slice(F, Fp, (0, j0))
+        # trailing rank-nb update on the MXU: U = (Lp·dp)·Lpᵀ, columns ≥ j1
+        prow = j0 + tpan
+        dp = Fp[prow, tpan]
+        # non-eliminated panel columns (pivot ≥ ns) hold Schur data, not L
+        Lp = jnp.where((idx[:, None] > prow[None, :])
+                       & (prow[None, :] < ns), Fp, 0.0)
+        LpT = jnp.conj(Lp).T if conjugate else Lp.T
+        U = (Lp * dp[None, :]) @ LpT
+        return F - U * (idx[None, :] >= j0 + nb)
+
+    F = jax.lax.fori_loop(0, npan, panel_body, F)
+    return F[:S, :S] if Sp != S else F
+
+
+def _masked_partial_spd(F: jnp.ndarray, ns: jnp.ndarray, max_ns: int,
+                        conjugate: bool):
+    """SPD fast path: the whole partial factorization as THREE fused XLA
+    ops — masked batched Cholesky of the leading block, one triangular
+    solve for the panel, one MXU matmul for the Schur complement (reference
+    ``ProcessFront.hpp``'s dense-front kernel, expressed as XLA primitives
+    instead of a scalar loop).  Produces the same pool layout as the LDL
+    kernels: unit-L panel, D on the diagonal, Schur in the trailing block."""
+    S = F.shape[0]
+    m = int(max_ns)
+    im = jnp.arange(m)
+    iS = jnp.arange(S)
+    lead = F[:m, :m]
+    # fronts carry only the lower triangle; Cholesky reads a full matrix
+    low = jnp.tril(lead)
+    lowT = jnp.conj(jnp.tril(lead, -1)).T if conjugate \
+        else jnp.tril(lead, -1).T
+    lead = low + lowT
+    maskb = (im[:, None] < ns) & (im[None, :] < ns)
+    A11 = jnp.where(maskb, lead,
+                    (im[:, None] == im[None, :]).astype(F.dtype))
+    L11 = jnp.linalg.cholesky(A11)
+    colm = im[None, :] < ns
+    B = jnp.where(colm, F[:, :m], 0.0)
+    # P·L11ᵀ = B  ⇒  P = the Cholesky panel (rows of L), S×m
+    P = jax.lax.linalg.triangular_solve(
+        L11, B, left_side=False, lower=True,
+        transpose_a=True, conjugate_a=conjugate)
+    dm = jnp.diagonal(L11)
+    Lunit = P / dm[None, :]
+    panel = jnp.where(colm & (iS[:, None] > im[None, :]), Lunit, F[:, :m])
+    dvals = jnp.broadcast_to((dm * dm)[None, :], (S, m))
+    panel = jnp.where(colm & (iS[:, None] == im[None, :]), dvals, panel)
+    F = F.at[:, :m].set(panel)
+    PT = jnp.conj(P).T if conjugate else P.T
+    U = P @ PT
+    return F - U * (iS[None, :] >= ns)
+
+
 @dataclasses.dataclass
 class LDLFactorization:
     """Numeric factor state (reference ``(Dist)SparseLDLFactorization``
@@ -170,12 +265,31 @@ class LDLFactorization:
         return (jnp.sum(d > 0), jnp.sum(d < 0), jnp.sum(d == 0))
 
 
+def _shard_level(fronts, mesh, axis):
+    """Subtree-to-device mapping (reference ``Process.hpp:150-275``
+    subtree→subteam): fronts within a level are independent subtrees, so
+    sharding the batch axis over the mesh IS the reference's team split —
+    extend-add between levels becomes XLA-inserted collectives."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    sh = NamedSharding(mesh, PartitionSpec(axis))
+    if isinstance(fronts, jax.core.Tracer):
+        return jax.lax.with_sharding_constraint(fronts, sh)
+    return jax.device_put(fronts, sh)
+
+
 def factor(symb: SymbolicFactorization, a_vals, conjugate: bool = False,
            reg: Optional[np.ndarray] = None,
-           dtype=jnp.float64) -> LDLFactorization:
+           dtype=jnp.float64, mesh=None, tree_axis: Optional[str] = None,
+           panel_blocksize: int = 32, spd: bool = False) -> LDLFactorization:
     """Numeric multifrontal LDL given the symbolic plan and A's values
     (+ optional diagonal regularization in *original* order, the
-    ``RegularizedLDL`` path)."""
+    ``RegularizedLDL`` path).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — each level's front batch is
+    sharded over ``tree_axis`` (default: the mesh's first axis), mapping
+    sibling subtrees to devices.  ``panel_blocksize``: panel width of the
+    blocked MXU front kernel (levels whose elimination width exceeds it use
+    the blocked right-looking path)."""
     a_vals = jnp.asarray(a_vals, dtype)
     pool = jnp.zeros((symb.pool_size,), dtype)
 
@@ -198,10 +312,20 @@ def factor(symb: SymbolicFactorization, a_vals, conjugate: bool = False,
                 pool[jnp.asarray(lev.child_src)])
         seg = jax.lax.dynamic_slice_in_dim(pool, lev.offset, nf * S * S, 0)
         fronts = seg.reshape(nf, S, S)
+        if mesh is not None:
+            fronts = _shard_level(fronts, mesh,
+                                  tree_axis or mesh.axis_names[0])
         max_ns = int(lev.ns.max())
-        fronts = jax.vmap(
-            lambda F, ns: _masked_partial_ldl(F, ns, max_ns, conjugate)
-        )(fronts, jnp.asarray(lev.ns))
+        if spd:
+            kern = lambda F, ns: _masked_partial_spd(F, ns, max_ns,
+                                                     conjugate)
+        elif max_ns > panel_blocksize:
+            kern = lambda F, ns: _masked_partial_ldl_blocked(
+                F, ns, max_ns, conjugate, nb=panel_blocksize)
+        else:
+            kern = lambda F, ns: _masked_partial_ldl(F, ns, max_ns,
+                                                     conjugate)
+        fronts = jax.vmap(kern)(fronts, jnp.asarray(lev.ns))
         pool = jax.lax.dynamic_update_slice_in_dim(
             pool, fronts.reshape(-1), lev.offset, 0)
         d = d.at[jnp.asarray(lev.diag_cols)].set(

@@ -168,3 +168,69 @@ def test_factor_gflops_accounting():
     f = SparseLDLFactorization().initialize(A)
     assert f.factor_gflops() > 0
     assert f.factor_nnz() >= A.nnz // 2
+
+
+def test_blocked_front_kernel_matches_rank1():
+    """The blocked right-looking MXU front kernel must agree with the
+    rank-1 reference kernel on random padded fronts."""
+    import jax.numpy as jnp
+    from elemental_tpu.sparse_direct import numeric as N
+    rng = np.random.default_rng(0)
+    S = 70
+    for ns in (1, 17, 33, 64, 70):
+        Q = rng.standard_normal((S, S))
+        F = Q @ Q.T + S * np.eye(S)       # SPD ⇒ no pivoting issues
+        a = N._masked_partial_ldl(jnp.asarray(F), jnp.asarray(ns), ns,
+                                  False)
+        b = N._masked_partial_ldl_blocked(jnp.asarray(F), jnp.asarray(ns),
+                                          ns, False, nb=16)
+        # compare the lower triangle (panel L + Schur); upper is scratch
+        al = np.tril(np.asarray(a))
+        bl = np.tril(np.asarray(b))
+        assert np.abs(al - bl).max() < 1e-10 * np.abs(al).max(), ns
+
+
+def test_subtree_to_device_sharded_factor_matches_single_device(grid8):
+    """factor(mesh=...) shards each level's fronts over the mesh
+    (subtree→subteam); results must match the unsharded factorization."""
+    from elemental_tpu.matrices import sparse_laplacian_3d
+    from elemental_tpu.sparse_direct import SparseLDLFactorization
+    import jax
+    from jax.sharding import Mesh
+    A = sparse_laplacian_3d(7, 7, 7, scaled=False)
+    n = A.height
+    rng = np.random.default_rng(1)
+    x_true = rng.standard_normal((n, 2))
+    b = A.to_scipy() @ x_true
+
+    mesh = Mesh(np.asarray(jax.devices("cpu")), ("tree",))
+    f = SparseLDLFactorization(mesh=mesh, tree_axis="tree")
+    f.initialize(A).factor()
+    x = np.asarray(f.solve(jnp.asarray(b)))
+    rel = np.abs(x - x_true).max() / np.abs(x_true).max()
+    assert rel < 1e-8, rel
+
+    f0 = SparseLDLFactorization()
+    f0.initialize(A).factor()
+    x0 = np.asarray(f0.solve(jnp.asarray(b)))
+    assert np.abs(x - x0).max() < 1e-9 * np.abs(x0).max()
+
+
+def test_spd_cholesky_fast_path_matches_ldl():
+    """factor(spd=True): batched XLA chol+trsm+matmul per level must give
+    the same factorization (and solves) as the LDL kernels."""
+    from elemental_tpu.matrices import sparse_laplacian_3d
+    from elemental_tpu.sparse_direct import SparseLDLFactorization
+    A = sparse_laplacian_3d(8, 8, 8, scaled=False)
+    n = A.height
+    rng = np.random.default_rng(1)
+    x_true = rng.standard_normal((n, 3))
+    b = A.to_scipy() @ x_true
+    f = SparseLDLFactorization(spd=True)
+    f.initialize(A).factor()
+    x = np.asarray(f.solve(jnp.asarray(b)))
+    assert np.abs(x - x_true).max() < 1e-8 * np.abs(x_true).max()
+    f0 = SparseLDLFactorization()
+    f0.initialize(A).factor()
+    assert np.abs(np.asarray(f.numeric.d)
+                  - np.asarray(f0.numeric.d)).max() < 1e-10
