@@ -88,11 +88,11 @@ def column_structures(A: SparseMatrix, parent: np.ndarray
             a_cols[i].append(int(j))
     struct: List[np.ndarray] = [None] * n  # type: ignore
     for j in postorder(parent):
-        s = set(a_cols[j])
-        for c in children[j]:
-            s.update(int(x) for x in struct[c] if x != j)
-        s.discard(j)
-        struct[j] = np.array(sorted(s), np.int64)
+        parts = [np.asarray(a_cols[j], np.int64)]
+        parts += [struct[c] for c in children[j]]
+        s = np.unique(np.concatenate(parts)) if len(parts) > 1 \
+            else np.unique(parts[0])
+        struct[j] = s[s > j]
     return struct
 
 
@@ -142,10 +142,13 @@ def find_supernodes(parent: np.ndarray, struct: List[np.ndarray],
     else:
         merged = sns
 
-    # children + heights
+    # children + heights (single pass)
+    kids: List[List[int]] = [[] for _ in merged]
+    for j, c in enumerate(merged):
+        if c.parent != -1:
+            kids[c.parent].append(j)
     for i, sn in enumerate(merged):
-        sn.children = tuple(j for j, c in enumerate(merged)
-                            if c.parent == i)
+        sn.children = tuple(kids[i])
     order = sorted(range(len(merged)),
                    key=lambda i: merged[i].cols[0])
     # heights via post-order
@@ -329,49 +332,65 @@ def analyze(A: SparseMatrix, perm: Optional[np.ndarray] = None,
     def flat(lev: LevelPlan, slot: int, i: int, j: int) -> int:
         return lev.offset + (slot * lev.front_size + i) * lev.front_size + j
 
-    # row position lookup per supernode
-    rowpos: List[Dict[int, int]] = []
-    for i in range(len(sns)):
-        rowpos.append({int(r): k for k, r in enumerate(sn_rows[i])})
-
     # column → supernode
     col2sn = np.empty(n, np.int64)
     for i, sn in enumerate(sns):
         col2sn[sn.cols[0]:sn.cols[1]] = i
 
-    # assembly from A (lower permuted entries)
-    asm_dst_all: List[List[int]] = [[] for _ in levels]
-    asm_src_all: List[List[int]] = [[] for _ in levels]
-    prow = np.repeat(np.arange(n), Ap.row_nnz())
-    for t in range(Ap.nnz):
-        i, j = int(prow[t]), int(Ap.colind[t])
-        s = int(col2sn[j])
-        lev_i, slot = sn_level[s]
+    # per-supernode flat geometry arrays (vectorized `flat`/`rowpos`)
+    n_sn = len(sns)
+    sn_lev = np.empty(n_sn, np.int64)
+    sn_slot = np.empty(n_sn, np.int64)
+    sn_off = np.empty(n_sn, np.int64)       # flat offset of the slot
+    sn_S = np.empty(n_sn, np.int64)
+    sn_a = np.empty(n_sn, np.int64)         # first column
+    for i, sn in enumerate(sns):
+        lev_i, slot = sn_level[i]
         lev = levels[lev_i]
-        a = sns[s].cols[0]
-        dst = flat(lev, slot, rowpos[s][i], j - a)
-        asm_dst_all[lev_i].append(dst)
-        asm_src_all[lev_i].append(int(val_map[t]))
+        sn_lev[i], sn_slot[i] = lev_i, slot
+        sn_S[i] = lev.front_size
+        sn_off[i] = lev.offset + slot * lev.front_size * lev.front_size
+        sn_a[i] = sn.cols[0]
 
-    # extend-add child → parent
-    child_dst_all: List[List[int]] = [[] for _ in levels]
-    child_src_all: List[List[int]] = [[] for _ in levels]
+    # assembly from A (lower permuted entries) — fully vectorized: the row
+    # position inside front s is searchsorted into sn_rows[s] (sorted)
+    prow = np.repeat(np.arange(n), Ap.row_nnz())
+    pcol = np.asarray(Ap.colind, np.int64)
+    s_of = col2sn[pcol]
+    asm_dst = np.empty(Ap.nnz, np.int64)
+    order = np.argsort(s_of, kind="stable")
+    bounds = np.searchsorted(s_of[order], np.arange(n_sn + 1))
+    for s in range(n_sn):
+        sel = order[bounds[s]:bounds[s + 1]]
+        if sel.size == 0:
+            continue
+        rp = np.searchsorted(sn_rows[s], prow[sel])
+        asm_dst[sel] = sn_off[s] + rp * sn_S[s] + (pcol[sel] - sn_a[s])
+    asm_lev = sn_lev[s_of]
+    asm_dst_all = [asm_dst[asm_lev == li] for li in range(len(levels))]
+    asm_src_all = [val_map[asm_lev == li] for li in range(len(levels))]
+
+    # extend-add child → parent: per child one vectorized lower-triangle
+    # index grid (reference `childRelInds`, NodeInfo.hpp:27-110)
+    child_dst_all: List[List[np.ndarray]] = [[] for _ in levels]
+    child_src_all: List[List[np.ndarray]] = [[] for _ in levels]
+    tril_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
     for ci, sn in enumerate(sns):
         p = sn.parent
-        if p == -1:
-            continue
-        clev_i, cslot = sn_level[ci]
-        plev_i, pslot = sn_level[p]
-        clev, plev = levels[clev_i], levels[plev_i]
-        nsc = sn.cols[1] - sn.cols[0]
-        rel = [rowpos[p][int(r)] for r in sn.struct]
         nr = len(sn.struct)
-        for a in range(nr):
-            for b in range(a + 1):  # lower triangle
-                src = flat(clev, cslot, nsc + a, nsc + b)
-                dst = flat(plev, pslot, rel[a], rel[b])
-                child_dst_all[plev_i].append(dst)
-                child_src_all[plev_i].append(src)
+        if p == -1 or nr == 0:
+            continue
+        plev_i = int(sn_lev[p])
+        nsc = sn.cols[1] - sn.cols[0]
+        rel = np.searchsorted(sn_rows[p], sn.struct)
+        if nr not in tril_cache:
+            tril_cache[nr] = np.tril_indices(nr)
+        ai, bi = tril_cache[nr]
+        Sc, Sp_ = int(sn_S[ci]), int(sn_S[p])
+        child_src_all[plev_i].append(
+            sn_off[ci] + (nsc + ai) * Sc + (nsc + bi))
+        child_dst_all[plev_i].append(
+            sn_off[p] + rel[ai] * Sp_ + rel[bi])
 
     # diagonal extraction
     nnz_factor = 0
@@ -387,8 +406,12 @@ def analyze(A: SparseMatrix, perm: Optional[np.ndarray] = None,
                 + (b - a) * len(sn.struct)
         lev.asm_dst = np.asarray(asm_dst_all[lev_i], np.int64)
         lev.asm_src = np.asarray(asm_src_all[lev_i], np.int64)
-        lev.child_dst = np.asarray(child_dst_all[lev_i], np.int64)
-        lev.child_src = np.asarray(child_src_all[lev_i], np.int64)
+        lev.child_dst = (np.concatenate(child_dst_all[lev_i])
+                         if child_dst_all[lev_i]
+                         else np.empty(0, np.int64))
+        lev.child_src = (np.concatenate(child_src_all[lev_i])
+                         if child_src_all[lev_i]
+                         else np.empty(0, np.int64))
         lev.diag_dst = np.asarray(diag_dst, np.int64)
         lev.diag_cols = np.asarray(diag_cols, np.int64)
 
