@@ -37,3 +37,5 @@ from .reflect import (apply_packed_reflectors, expand_packed_reflectors,
                       householder, hyperbolic_reflector)
 from .util import median, pivot_parity, sort, tagged_sort
 from .tridiag_eig import tridiag_eig, tridiag_eigvalsh
+from .lattice import (LLLInfo, algebraic_relation_search,
+                      lattice_image_and_kernel, lll, z_dependence_search)
