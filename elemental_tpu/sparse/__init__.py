@@ -8,3 +8,4 @@ from .matmul import (GalerkinPlan, SpGEMMPlan, galerkin_plan, multiply,
                      spgemm, spgemm_plan, syrk_sparse)
 from .io import (MPSData, read_matrix_market, read_mps, write_matrix_market)
 from .dia import DIAMatrix, best_device_format, to_dia
+from .auto_plan import SpMVPlan, plan_spmv
