@@ -115,6 +115,54 @@ int el_minimum_degree(int64_t n, const int64_t* rowptr,
   return 0;
 }
 
+// Reverse Cuthill–McKee band-reducing ordering over a symmetrized CSR
+// adjacency (no self loops).  Per component: start from a minimum-degree
+// vertex, BFS visiting neighbours in increasing-degree order, reverse the
+// final order.  Matches the Python fallback in sparse_direct/ordering.py;
+// used by sparse.plan_spmv's bandwidth-recovery path.
+int el_rcm(int64_t n, const int64_t* rowptr, const int64_t* colind,
+           int64_t* perm) {
+  std::vector<char> visited(n, 0);
+  std::vector<int64_t> order;
+  order.reserve(n);
+  std::vector<int64_t> queue;
+  queue.reserve(n);
+  std::vector<std::pair<int64_t, int64_t>> nbrs;  // (degree, vertex)
+
+  // vertices sorted by degree once: component starts scan this list
+  std::vector<int64_t> by_degree(n);
+  for (int64_t v = 0; v < n; ++v) by_degree[v] = v;
+  std::sort(by_degree.begin(), by_degree.end(), [&](int64_t a, int64_t b) {
+    int64_t da = rowptr[a + 1] - rowptr[a], db = rowptr[b + 1] - rowptr[b];
+    return da != db ? da < db : a < b;
+  });
+  size_t scan = 0;
+
+  while (order.size() < static_cast<size_t>(n)) {
+    while (scan < by_degree.size() && visited[by_degree[scan]]) ++scan;
+    int64_t start = by_degree[scan];
+    visited[start] = 1;
+    queue.clear();
+    queue.push_back(start);
+    for (size_t head = 0; head < queue.size(); ++head) {
+      int64_t u = queue[head];
+      order.push_back(u);
+      nbrs.clear();
+      for (int64_t t = rowptr[u]; t < rowptr[u + 1]; ++t) {
+        int64_t v = colind[t];
+        if (!visited[v]) {
+          visited[v] = 1;
+          nbrs.push_back({rowptr[v + 1] - rowptr[v], v});
+        }
+      }
+      std::sort(nbrs.begin(), nbrs.end());
+      for (auto& [d, v] : nbrs) queue.push_back(v);
+    }
+  }
+  for (int64_t k = 0; k < n; ++k) perm[k] = order[n - 1 - k];
+  return 0;
+}
+
 // Elimination tree of a CSR lower-triangular pattern (Liu's algorithm) —
 // offered natively for large symbolic phases.
 int el_etree(int64_t n, const int64_t* rowptr, const int64_t* colind,

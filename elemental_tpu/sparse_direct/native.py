@@ -23,23 +23,31 @@ def _load():
     nat_dir = os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
                                            "native"))
     path = os.path.join(nat_dir, "libelemental_native.so")
-    if not os.path.exists(path):
-        # build on first use (toolchain is a hard prerequisite of the repo)
+    src = os.path.join(nat_dir, "symbolic.cpp")
+    stale = (not os.path.exists(path) or
+             (os.path.exists(src) and
+              os.path.getmtime(src) > os.path.getmtime(path)))
+    if stale:
+        # (re)build on first use (toolchain is a hard prerequisite)
         import subprocess
         try:
-            subprocess.run(["make", "-C", nat_dir], check=True,
+            subprocess.run(["make", "-C", nat_dir, "-B"], check=True,
                            capture_output=True, timeout=120)
         except Exception:
             pass
     if os.path.exists(path):
         lib = ctypes.CDLL(path)
-        lib.el_minimum_degree.restype = ctypes.c_int
-        lib.el_minimum_degree.argtypes = [
+        csr_sig = [
             ctypes.c_int64,
             np.ctypeslib.ndpointer(np.int64, flags="C"),
             np.ctypeslib.ndpointer(np.int64, flags="C"),
             np.ctypeslib.ndpointer(np.int64, flags="C"),
         ]
+        lib.el_minimum_degree.restype = ctypes.c_int
+        lib.el_minimum_degree.argtypes = csr_sig
+        if hasattr(lib, "el_rcm"):
+            lib.el_rcm.restype = ctypes.c_int
+            lib.el_rcm.argtypes = csr_sig
         _LIB = lib
     return _LIB
 
@@ -60,4 +68,21 @@ def minimum_degree(adj: List[np.ndarray]) -> np.ndarray:
     rc = lib.el_minimum_degree(n, rowptr, colind, perm)
     if rc != 0:
         raise RuntimeError(f"el_minimum_degree failed: {rc}")
+    return perm
+
+
+def has_rcm() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "el_rcm")
+
+
+def rcm(rowptr: np.ndarray, colind: np.ndarray) -> np.ndarray:
+    """Reverse Cuthill–McKee over a symmetrized CSR pattern (no self loops)."""
+    lib = _load()
+    n = rowptr.shape[0] - 1
+    perm = np.zeros(n, np.int64)
+    rc = lib.el_rcm(n, np.ascontiguousarray(rowptr, np.int64),
+                    np.ascontiguousarray(colind, np.int64), perm)
+    if rc != 0:
+        raise RuntimeError(f"el_rcm failed: {rc}")
     return perm

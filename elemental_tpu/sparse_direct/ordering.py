@@ -190,8 +190,30 @@ def natural_nested_dissection(dims: Tuple[int, ...],
     return np.asarray(recurse(idx), np.int64)
 
 
+def _sym_pattern_csr(A) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetrized CSR pattern, no self loops (native-kernel input form)."""
+    import scipy.sparse as sp
+    if isinstance(A, SparseMatrix):
+        s = A.to_scipy()
+    else:  # Graph
+        s = A.to_sparse().to_scipy()
+    s = s.tocsr()
+    pat = sp.csr_matrix(
+        (np.ones(s.nnz, np.int8), s.indices, s.indptr), shape=s.shape)
+    pat = (pat + pat.T).tocsr()
+    pat.setdiag(0)
+    pat.eliminate_zeros()
+    return pat.indptr.astype(np.int64), pat.indices.astype(np.int64)
+
+
 def reverse_cuthill_mckee(A) -> np.ndarray:
-    """RCM band-reducing ordering (bandwidth → DIA-kernel friendliness)."""
+    """RCM band-reducing ordering (bandwidth → DIA-kernel friendliness).
+    Uses the native C++ kernel (``native/symbolic.cpp: el_rcm``) when built;
+    NumPy BFS fallback below."""
+    from . import native
+    if native.has_rcm():
+        rowptr, colind = _sym_pattern_csr(A)
+        return native.rcm(rowptr, colind)
     adj = _adjacency(A)
     n = len(adj)
     visited = np.zeros(n, bool)
