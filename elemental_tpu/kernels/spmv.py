@@ -47,6 +47,11 @@ class StencilPlan:
         return dataclasses.replace(self, weights=jax.device_put(w, device))
 
 
+jax.tree_util.register_dataclass(
+    StencilPlan, data_fields=("weights",),
+    meta_fields=("n", "rows", "cols", "halo", "shifts", "nnz"))
+
+
 def plan_stencil_spmv(offsets, diags: np.ndarray, n: int, cols: int = 1024,
                       max_halo: int = 256) -> Optional[StencilPlan]:
     """Compile DIA (offsets, diags[d,i] = A[i,i+off_d]) into a halo-panel

@@ -6,12 +6,16 @@ Forms (reference naming):
   * direct:  min cᵀx  s.t.  A·x = b,  x ≥ 0
   * affine:  min cᵀx  s.t.  A·x = b,  G·x + s = h,  s ≥ 0
 
-Per-iteration pipeline mirrors SURVEY §3.6: equilibrate → KKT solve
-(normal equations A·D²·Aᵀ via the fixed-structure Galerkin plan + sparse
-multifrontal Cholesky with ``ChangeNonzeroValues`` reuse, or dense Cholesky
-for small instances; affine form uses the regularized quasi-definite
-augmented KKT through the multifrontal LDL) → Mehrotra predictor-corrector
-(or fixed-σ IPF) → fraction-to-boundary step."""
+TPU-resident hot loop (SURVEY §3.6): the regularized quasi-definite
+augmented KKT is assembled ONCE as a fixed sparse pattern
+(:class:`..optimization.kkt.KKTBuilder`); each iteration is one jitted
+device program — scatter the barrier diagonal Θ = z/x into the value
+vector (the reference's ``ChangeNonzeroValues``,
+``DistSparseLDLFactorization.cpp:149``), re-factor with the level-batched
+multifrontal ``RegularizedLDL``, refined predictor/corrector solves,
+fraction-to-boundary steps.  No densification and no host linear algebra
+anywhere in the loop.
+"""
 
 from __future__ import annotations
 
@@ -20,12 +24,12 @@ from typing import Callable, Optional, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..sparse.csr import SparseMatrix
-from ..sparse.matmul import galerkin_plan
-from ..sparse_direct import SparseLDLFactorization
 from ..sparse.io import MPSData
+from .kkt import KKTBuilder, KKTSystem
 
 
 class Approach:
@@ -41,9 +45,11 @@ class LPCtrl:
     tol: float = 1e-8
     tau: float = 0.995          # fraction-to-boundary
     sigma_ipf: float = 0.3      # centering for IPF
-    backend: str = "auto"       # dense | sparse | auto
+    backend: str = "auto"       # kept for API parity; the path is sparse
     reg: float = 1e-9
+    refine_iters: int = 8       # FGMRES steps against the exact KKT
     verbose: bool = False
+    ordering: Optional[np.ndarray] = None  # precomputed KKT fill ordering
 
 
 @dataclasses.dataclass
@@ -57,57 +63,28 @@ class LPResult:
     s: Optional[np.ndarray] = None  # affine-form slack
 
 
-def _normal_solver(A: SparseMatrix, ctrl: LPCtrl):
-    """Factory: d ↦ solver for (A·diag(d)·Aᵀ + δI)·u = r."""
+def sparse_ruiz(A: SparseMatrix, iters: int = 10
+                ) -> Tuple[SparseMatrix, np.ndarray, np.ndarray]:
+    """Ruiz equilibration on the CSR arrays (reference ``equilibrate/Ruiz``;
+    never densifies): returns (Â, r, s) with Â = R⁻¹·A·S⁻¹."""
     m, n = A.shape
-    dense = ctrl.backend == "dense" or (ctrl.backend == "auto" and m <= 300)
-    if dense:
-        Ad = A.to_dense()
-
-        def solve(d, rhs_list):
-            M = (Ad * d[None, :]) @ Ad.T
-            # small static regularization (rank-deficient netlib rows) + LU
-            # + one refinement step to recover accuracy near convergence
-            delta = ctrl.reg * max(1.0, float(np.diag(M).max()))
-            Mr = M + delta * np.eye(m)
-            outs = []
-            for r in rhs_list:
-                u = np.linalg.solve(Mr, r)
-                for _ in range(4):  # refine away the δ-regularization error
-                    u = u + np.linalg.solve(Mr, r - M @ u)
-                outs.append(u)
-            return outs
-
-        return solve
-
-    plan = galerkin_plan(A)
-    fact = SparseLDLFactorization()
-    struct = plan.c_struct.update_diagonal(np.zeros(m))  # ensure diagonal
-    fact.initialize(struct)
-    a_dev = jnp.asarray(A.vals)
-
-    def solve(d, rhs_list):
-        vals = np.asarray(plan.numeric(a_dev, jnp.asarray(d)))
-        M = plan.c_struct.change_nonzero_values(vals)
-        M = M.update_diagonal(np.full(m, ctrl.reg))
-        fact.A = fact.A.change_nonzero_values(
-            _match_values(fact.A, M))
-        fact.factor()
-        return [np.asarray(fact.solve(jnp.asarray(r))) for r in rhs_list]
-
-    return solve
-
-
-def _match_values(target: SparseMatrix, src: SparseMatrix) -> np.ndarray:
-    """Values of ``src`` aligned to ``target``'s (superset) pattern."""
-    tr = np.repeat(np.arange(target.height), target.row_nnz())
-    sr = np.repeat(np.arange(src.height), src.row_nnz())
-    tkey = tr * target.width + target.colind
-    skey = sr * src.width + src.colind
-    out = np.zeros(target.nnz, src.vals.dtype)
-    pos = np.searchsorted(tkey, skey)
-    out[pos] = src.vals
-    return out
+    rows = np.repeat(np.arange(m), A.row_nnz())
+    cols = A.colind
+    v = A.vals.astype(np.float64).copy()
+    r = np.ones(m)
+    s = np.ones(n)
+    for _ in range(iters):
+        rowmax = np.zeros(m)
+        np.maximum.at(rowmax, rows, np.abs(v))
+        rr = np.where(rowmax > 0, np.sqrt(rowmax), 1.0)
+        v /= rr[rows]
+        r *= rr
+        colmax = np.zeros(n)
+        np.maximum.at(colmax, cols, np.abs(v))
+        ss = np.where(colmax > 0, np.sqrt(colmax), 1.0)
+        v /= ss[cols]
+        s *= ss
+    return A.change_nonzero_values(v), r, s
 
 
 def _steplen(v: np.ndarray, dv: np.ndarray, tau: float) -> float:
@@ -117,221 +94,252 @@ def _steplen(v: np.ndarray, dv: np.ndarray, tau: float) -> float:
     return float(min(1.0, tau * np.min(-v[neg] / dv[neg])))
 
 
+def _steplen_j(v: jnp.ndarray, dv: jnp.ndarray, tau: float) -> jnp.ndarray:
+    """Fraction-to-boundary step length (jit-safe)."""
+    ratios = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+    return jnp.minimum(1.0, tau * jnp.min(ratios))
+
+
+def _build_lp_kkt(A: SparseMatrix, gamma: float, delta: float,
+                  ordering: Optional[np.ndarray]) -> Tuple[KKTSystem, int]:
+    """Fixed-pattern K = [[Θ+γI, Aᵀ],[A, −δI]] with Θ the dynamic slot 0.
+    Solving K[p;q]=[f;g] yields dx=p, dy=−q for the unsymmetric Newton rows
+    Θ·dx − Aᵀ·dy = f, A·dx = g (quasi-definite ⇒ pivot-free LDL is stable)."""
+    m, n = A.shape
+    N = n + m
+    kb = KKTBuilder(N)
+    arows = np.repeat(np.arange(m), A.row_nnz()) + n
+    kb.add_static(arows, A.colind, A.vals)
+    kb.add_static(A.colind, arows, A.vals)
+    kb.add_static(np.arange(n), np.arange(n), np.full(n, gamma))
+    kb.add_static(np.arange(n, N), np.arange(n, N), np.full(m, -delta))
+    slot = kb.add_dynamic(np.arange(n), np.arange(n))
+    return kb.finalize(perm=ordering), slot
+
+
 def lp_direct(A: SparseMatrix, b: np.ndarray, c: np.ndarray,
               ctrl: Optional[LPCtrl] = None) -> LPResult:
     """Solve min cᵀx s.t. Ax = b, x ≥ 0 (reference ``LPDirect``)."""
     ctrl = ctrl or LPCtrl()
     m, n = A.shape
-    # Ruiz equilibration (reference: equilibrate → KKT, SURVEY §3.6):
-    # Â = R·A·S, x̂ = S⁻¹x, ŷ = R⁻¹y, ẑ = S·z
-    Ad0 = A.to_dense()
-    r = np.ones(m)
-    s = np.ones(n)
-    Asc = Ad0.copy()
-    for _ in range(10):
-        rr = np.sqrt(np.maximum(np.abs(Asc).max(axis=1), 1e-300))
-        Asc /= rr[:, None]
-        r *= rr
-        ss = np.sqrt(np.maximum(np.abs(Asc).max(axis=0), 1e-300))
-        Asc /= ss[None, :]
-        s *= ss
+    A, r, s = sparse_ruiz(A)
     b = b / r
     c = c / s
-    A = SparseMatrix.from_dense(Asc, tol=0.0)
-    Ad = Asc
-    solve_ne = _normal_solver(A, ctrl)
 
-    # Mehrotra's starting point: min-norm primal/dual least-squares iterates
-    # shifted into the positive orthant
-    ones_d = np.ones(n)
-    (u1, u2) = solve_ne(ones_d, [b, Ad @ c])
-    x_t = Ad.T @ u1
-    y = u2
-    z_t = c - Ad.T @ y
-    dx = max(-1.5 * x_t.min(), 0.0)
-    dz = max(-1.5 * z_t.min(), 0.0)
-    x_h, z_h = x_t + dx + 1e-10, z_t + dz + 1e-10
-    xs = x_h @ z_h
-    x = x_h + 0.5 * xs / max(z_h.sum(), 1e-10)
-    z = z_h + 0.5 * xs / max(x_h.sum(), 1e-10)
-    x = np.maximum(x, 1e-8)
-    z = np.maximum(z, 1e-8)
+    gamma = delta = ctrl.reg
+    kkt, _ = _build_lp_kkt(A, gamma, delta, ctrl.ordering)
+    reg_diag = jnp.concatenate([jnp.full(n, gamma), jnp.full(m, -delta)])
 
-    bnorm, cnorm = np.linalg.norm(b) + 1, np.linalg.norm(c) + 1
+    Ad = A.device_csr()
+    Atd = A.transpose().device_csr()
+    bj, cj = jnp.asarray(b), jnp.asarray(c)
+    bnorm = float(np.linalg.norm(b)) + 1.0
+    cnorm = float(np.linalg.norm(c)) + 1.0
+    tol, tau = ctrl.tol, ctrl.tau
+    nref = ctrl.refine_iters
+
+    def kfactor(theta):
+        return kkt.prepare(kkt.assemble([theta]))
+
+    def ksolve(fact, f, g):
+        sol = fact.solve_refined(jnp.concatenate([f, g]), reg_diag,
+                                 iters=nref)
+        return sol[:n], sol[n:]
+
+    @jax.jit
+    def start():
+        """Mehrotra starting point from the Θ=I system: min-norm Ax=b
+        iterate and dual least squares, shifted into the orthant."""
+        fact = kfactor(jnp.ones(n, bj.dtype))
+        x_t, _ = ksolve(fact, jnp.zeros(n, bj.dtype), bj)
+        z_t, yq = ksolve(fact, cj, jnp.zeros(m, bj.dtype))
+        y = yq
+        dx = jnp.maximum(-1.5 * jnp.min(x_t), 0.0)
+        dz = jnp.maximum(-1.5 * jnp.min(z_t), 0.0)
+        x_h = x_t + dx + 1e-10
+        z_h = z_t + dz + 1e-10
+        xs = x_h @ z_h
+        x = x_h + 0.5 * xs / jnp.maximum(jnp.sum(z_h), 1e-10)
+        z = z_h + 0.5 * xs / jnp.maximum(jnp.sum(x_h), 1e-10)
+        return jnp.maximum(x, 1e-8), y, jnp.maximum(z, 1e-8)
+
+    mehrotra = ctrl.approach == Approach.MEHROTRA
+    sigma_ipf = ctrl.sigma_ipf
+
+    @jax.jit
+    def step(x, y, z):
+        rb = bj - Ad.matvec(x)
+        rc = cj - Atd.matvec(y) - z
+        mu = x @ z / n
+        gap = jnp.abs(cj @ x - bj @ y) / (1 + jnp.abs(cj @ x))
+        theta = z / x
+        fact = kfactor(theta)
+
+        def directions(rmu):
+            p, q = ksolve(fact, rmu / x - rc, rb)
+            dx, dy = p, -q
+            dz = rc - Atd.matvec(dy)
+            return dx, dy, dz
+
+        if mehrotra:
+            dxa, _, dza = directions(-x * z)
+            ap = _steplen_j(x, dxa, 1.0)
+            ad = _steplen_j(z, dza, 1.0)
+            mu_aff = (x + ap * dxa) @ (z + ad * dza) / n
+            sigma = jnp.where(mu > 0, (mu_aff / mu) ** 3, 0.0)
+            dx, dy, dz = directions(sigma * mu - x * z - dxa * dza)
+        else:
+            dx, dy, dz = directions(sigma_ipf * mu - x * z)
+
+        ap = _steplen_j(x, dx, tau)
+        ad = _steplen_j(z, dz, tau)
+        # infeasible-IPM neighborhood safeguard: keep μ₊ coupled to ‖rb₊‖
+        rbn = jnp.linalg.norm(rb) / bnorm
+
+        def cond(carry):
+            ap_c, ad_c, i = carry
+            xn = x + ap_c * dx
+            zn = z + ad_c * dz
+            mun = xn @ zn / n
+            rbn_new = jnp.linalg.norm(bj - Ad.matvec(xn)) / bnorm
+            return ((i < 40) & (rbn > 10 * tol)
+                    & (mun < 1e-5 * rbn_new) & (rbn_new > 10 * tol))
+
+        def backoff(carry):
+            ap_c, ad_c, i = carry
+            return ap_c * 0.7, ad_c * 0.7, i + 1
+
+        ap, ad, _ = jax.lax.while_loop(cond, backoff, (ap, ad, 0))
+        return (x + ap * dx, y + ad * dy, z + ad * dz,
+                jnp.linalg.norm(rb), jnp.linalg.norm(rc), gap)
+
+    x, y, z = start()
     it = 0
     converged = False
     for it in range(1, ctrl.max_iters + 1):
-        rb = b - Ad @ x
-        rc = c - Ad.T @ y - z
-        mu = x @ z / n
-        gap = abs(c @ x - b @ y) / (1 + abs(c @ x))
-        if (np.linalg.norm(rb) / bnorm < ctrl.tol
-                and np.linalg.norm(rc) / cnorm < ctrl.tol
-                and gap < ctrl.tol):
+        xp, yp, zp = x, y, z
+        x, y, z, rbn, rcn, gap = step(x, y, z)
+        rbn, rcn, gap = float(rbn), float(rcn), float(gap)
+        if not np.isfinite(rbn + rcn + gap):
+            x, y, z = xp, yp, zp   # numerical breakdown: keep last finite
+            break
+        if rbn / bnorm < tol and rcn / cnorm < tol and gap < tol:
+            x, y, z = xp, yp, zp   # residuals were of the pre-step iterate
             converged = True
             break
-        # augmented quasi-definite KKT (the reference's RegularizedLDL route;
-        # numerically far better conditioned than the normal equations):
-        # [[Θ, −Aᵀ],[A, δI]]·[dx; dy] = [rmu/x − rc_neg; rb], Θ = z/x
-        theta = z / x
-        K = np.zeros((n + m, n + m))
-        K[:n, :n] = np.diag(theta)
-        K[:n, n:] = -Ad.T
-        K[n:, :n] = Ad
-        # absolute δ (A is Ruiz-equilibrated, so |A| ≈ 1): LU with partial
-        # pivoting handles the quasi-definite system; refinement removes δ
-        K[n:, n:] = -ctrl.reg * np.eye(m)
-        import scipy.linalg as sla
-        lu_piv = sla.lu_factor(K)
-
-        def directions(rmu):
-            rhs = np.concatenate([rmu / x - rc, rb])
-            sol = sla.lu_solve(lu_piv, rhs)
-            for _ in range(2):  # refine against the unregularized KKT
-                r2 = rhs - np.concatenate([
-                    theta * sol[:n] - Ad.T @ sol[n:], Ad @ sol[:n]])
-                sol = sol + sla.lu_solve(lu_piv, r2)
-            dx, dy = sol[:n], sol[n:]
-            dz = rc - Ad.T @ dy
-            return dx, dy, dz
-
-        if ctrl.approach == Approach.MEHROTRA:
-            dx_a, dy_a, dz_a = directions(-x * z)
-            ap = _steplen(x, dx_a, 1.0)
-            ad = _steplen(z, dz_a, 1.0)
-            mu_aff = ((x + ap * dx_a) @ (z + ad * dz_a)) / n
-            sigma = (mu_aff / mu) ** 3 if mu > 0 else 0.0
-            rmu = sigma * mu - x * z - dx_a * dz_a
-            dx, dy, dz = directions(rmu)
-        else:  # IPF
-            rmu = ctrl.sigma_ipf * mu - x * z
-            dx, dy, dz = directions(rmu)
-
-        ap = _steplen(x, dx, ctrl.tau)
-        ad = _steplen(z, dz, ctrl.tau)
-        # infeasible-IPM neighborhood safeguard: do not let complementarity
-        # collapse while the primal residual is still large — back the steps
-        # off until μ₊ stays coupled to ‖rb₊‖ (N_{−∞}-style condition)
-        rbn = np.linalg.norm(rb) / bnorm
-        if rbn > 10 * ctrl.tol:
-            for _ in range(40):
-                xn, zn = x + ap * dx, z + ad * dz
-                mun = xn @ zn / n
-                rbn_new = np.linalg.norm(b - Ad @ xn) / bnorm
-                if mun >= 1e-5 * rbn_new or rbn_new <= 10 * ctrl.tol:
-                    break
-                ap *= 0.7
-                ad *= 0.7
-        x = x + ap * dx
-        y = y + ad * dy
-        z = z + ad * dz
         if ctrl.verbose:
-            print(f"  it {it}: mu={mu:.3e} rb={np.linalg.norm(rb):.2e} "
-                  f"rc={np.linalg.norm(rc):.2e} obj={c @ x:.8g} "
-                  f"ap={ap:.2f} ad={ad:.2f}")
+            print(f"  it {it}: rb={rbn:.2e} rc={rcn:.2e} gap={gap:.2e}")
 
-    # unscale: x = S·x̂, y = R·ŷ? (ŷ solves scaled dual: y = r∘ŷ), z = ẑ/s
-    x_out = x / s
-    y_out = y / r
-    z_out = z * s
-    return LPResult(x_out, y_out, z_out, float(c @ x), it, converged)
+    x, y, z = np.asarray(x), np.asarray(y), np.asarray(z)
+    obj = float(c @ x)  # ĉᵀx̂ = cᵀx: the objective is scaling-invariant
+    return LPResult(x / s, y / r, z * s, obj, it, converged)
 
 
 def lp_affine(A: SparseMatrix, b: np.ndarray, G: SparseMatrix,
               h: np.ndarray, c: np.ndarray,
               ctrl: Optional[LPCtrl] = None) -> LPResult:
     """Solve min cᵀx s.t. Ax = b, Gx + s = h, s ≥ 0 (reference ``LPAffine``)
-    via the regularized quasi-definite augmented KKT
-    [[γI, Aᵀ, Gᵀ], [A, −δI, 0], [G, 0, −(S/Z+δ)I]] factored with the
-    multifrontal LDL (pattern fixed across iterations)."""
+    via the fixed-pattern regularized quasi-definite KKT
+    [[γI, Aᵀ, Gᵀ], [A, −δI, 0], [G, 0, −(W+δ)I]], W = s/z the dynamic slot,
+    factored by the multifrontal LDL every iteration (symbolic reused)."""
     ctrl = ctrl or LPCtrl()
+    if not isinstance(A, SparseMatrix):
+        A = SparseMatrix.from_dense(np.asarray(A))
+    if not isinstance(G, SparseMatrix):
+        G = SparseMatrix.from_dense(np.asarray(G))
     m, n = A.shape
     k = G.shape[0]
-    Ad, Gd = A.to_dense(), G.to_dense()
+    N = n + m + k
+    gamma = delta = ctrl.reg
 
-    x = np.zeros(n)
-    y = np.zeros(m)
-    s = np.maximum(h - Gd @ x, 1.0)
-    z = np.ones(k)
+    kb = KKTBuilder(N)
+    arows = np.repeat(np.arange(m), A.row_nnz()) + n
+    grows = np.repeat(np.arange(k), G.row_nnz()) + n + m
+    kb.add_static(arows, A.colind, A.vals)
+    kb.add_static(A.colind, arows, A.vals)
+    kb.add_static(grows, G.colind, G.vals)
+    kb.add_static(G.colind, grows, G.vals)
+    kb.add_static(np.arange(n), np.arange(n), np.full(n, gamma))
+    kb.add_static(np.arange(n, n + m), np.arange(n, n + m),
+                  np.full(m, -delta))
+    kb.add_static(np.arange(n + m, N), np.arange(n + m, N),
+                  np.full(k, -delta))
+    kb.add_dynamic(np.arange(n + m, N), np.arange(n + m, N))  # −W
+    kkt = kb.finalize(perm=ctrl.ordering)
+    reg_diag = jnp.concatenate([jnp.full(n, gamma), jnp.full(m, -delta),
+                                jnp.full(k, -delta)])
 
-    # KKT pattern (dense fallback for small; sparse LDL otherwise)
-    use_sparse = ctrl.backend == "sparse" or (
-        ctrl.backend == "auto" and n + m + k > 400)
-    kkt_fact = SparseLDLFactorization() if use_sparse else None
-    kkt_pat: Optional[SparseMatrix] = None
 
-    def kkt_solve(w, r1, r2, r3):
-        gamma, delta = ctrl.reg, ctrl.reg
-        nonlocal kkt_pat
-        K = np.zeros((n + m + k, n + m + k))
-        K[:n, :n] = gamma * np.eye(n)
-        K[:n, n:n + m] = Ad.T
-        K[:n, n + m:] = Gd.T
-        K[n:n + m, :n] = Ad
-        K[n:n + m, n:n + m] = -delta * np.eye(m)
-        K[n + m:, :n] = Gd
-        K[n + m:, n + m:] = -np.diag(w + delta)
-        rhs = np.concatenate([r1, r2, r3])
-        if kkt_fact is not None:
-            Ks = SparseMatrix.from_dense(K)
-            if kkt_pat is None or Ks.nnz != kkt_pat.nnz:
-                kkt_pat = Ks
-                kkt_fact.initialize(Ks)
-                kkt_fact.factor()
-            else:
-                kkt_fact.change_nonzero_values(Ks.vals)
-            sol = np.asarray(kkt_fact.solve(jnp.asarray(rhs)))
-        else:
-            sol = np.linalg.solve(K, rhs)
-        return sol[:n], sol[n:n + m], sol[n + m:]
+    Ad, Atd = A.device_csr(), A.transpose().device_csr()
+    Gd, Gtd = G.device_csr(), G.transpose().device_csr()
+    bj, hj, cj = jnp.asarray(b), jnp.asarray(h), jnp.asarray(c)
+    tau, tol = ctrl.tau, ctrl.tol
+    nref = ctrl.refine_iters
+    mehrotra = ctrl.approach == Approach.MEHROTRA
+    sigma_ipf = ctrl.sigma_ipf
 
-    it = 0
-    converged = False
-    for it in range(1, ctrl.max_iters + 1):
-        rb = b - Ad @ x
-        rh = h - Gd @ x - s
-        rc = -(c + Ad.T @ y + Gd.T @ z)
+    @jax.jit
+    def step(x, y, s, z):
+        rb = bj - Ad.matvec(x)
+        rh = hj - Gd.matvec(x) - s
+        rc = -(cj + Atd.matvec(y) + Gtd.matvec(z))
         mu = s @ z / k
-        pobj = c @ x
-        dobj = -(b @ y + h @ z)
-        gap = abs(pobj - dobj) / (1 + abs(pobj))
-        if (np.linalg.norm(rb) < ctrl.tol * (1 + np.linalg.norm(b))
-                and np.linalg.norm(rh) < ctrl.tol * (1 + np.linalg.norm(h))
-                and np.linalg.norm(rc) < ctrl.tol * (1 + np.linalg.norm(c))
-                and (gap < ctrl.tol or mu < ctrl.tol)):
-            converged = True
-            break
-
+        pobj = cj @ x
+        dobj = -(bj @ y + hj @ z)
+        gap = jnp.abs(pobj - dobj) / (1 + jnp.abs(pobj))
         w = s / z
+        fact = kkt.prepare(kkt.assemble([-w]))
 
         def directions(rmu):
-            # symmetric quasi-definite KKT rows:
-            #   Aᵀdy + Gᵀdz = rc ; A dx = rb ; G dx − W dz = rh − rmu/z
-            r3 = rh - rmu / z
-            dx, dy, dz = kkt_solve(w, rc, rb, r3)
+            # rows: Aᵀdy + Gᵀdz = rc ; A dx = rb ; G dx − W dz = rh − rmu/z
+            rhs = jnp.concatenate([rc, rb, rh - rmu / z])
+            sol = fact.solve_refined(rhs, reg_diag, iters=nref)
+            dx, dy, dz = sol[:n], sol[n:n + m], sol[n + m:]
             ds = (rmu - s * dz) / z
             return dx, dy, dz, ds
 
-        if ctrl.approach == Approach.MEHROTRA:
+        if mehrotra:
             dxa, dya, dza, dsa = directions(-s * z)
-            ap = _steplen(s, dsa, 1.0)
-            ad = _steplen(z, dza, 1.0)
-            mu_aff = ((s + ap * dsa) @ (z + ad * dza)) / k
-            sigma = (mu_aff / mu) ** 3 if mu > 0 else 0.0
+            ap = _steplen_j(s, dsa, 1.0)
+            ad = _steplen_j(z, dza, 1.0)
+            mu_aff = (s + ap * dsa) @ (z + ad * dza) / k
+            sigma = jnp.where(mu > 0, (mu_aff / mu) ** 3, 0.0)
             dx, dy, dz, ds = directions(sigma * mu - s * z - dsa * dza)
         else:
-            dx, dy, dz, ds = directions(ctrl.sigma_ipf * mu - s * z)
+            dx, dy, dz, ds = directions(sigma_ipf * mu - s * z)
 
-        ap = _steplen(s, ds, ctrl.tau)
-        ad = _steplen(z, dz, ctrl.tau)
-        alpha = min(ap, ad)
-        x = x + alpha * dx
-        y = y + alpha * dy
-        s = s + alpha * ds
-        z = z + alpha * dz
+        alpha = jnp.minimum(_steplen_j(s, ds, tau), _steplen_j(z, dz, tau))
+        return (x + alpha * dx, y + alpha * dy, s + alpha * ds,
+                z + alpha * dz,
+                jnp.linalg.norm(rb), jnp.linalg.norm(rh),
+                jnp.linalg.norm(rc), gap, mu)
+
+    x = jnp.zeros(n, jnp.asarray(b).dtype if b.size else jnp.float64)
+    y = jnp.zeros(m, x.dtype)
+    s = jnp.maximum(hj - Gd.matvec(x), 1.0)
+    z = jnp.ones(k, x.dtype)
+
+    bn = 1 + float(np.linalg.norm(b))
+    hn = 1 + float(np.linalg.norm(h))
+    cn = 1 + float(np.linalg.norm(c))
+    it = 0
+    converged = False
+    for it in range(1, ctrl.max_iters + 1):
+        xp, yp, sp, zp = x, y, s, z
+        x, y, s, z, rbn, rhn, rcn, gap, mu = step(x, y, s, z)
+        if not np.isfinite(float(rbn) + float(rcn) + float(gap)):
+            x, y, s, z = xp, yp, sp, zp
+            break
+        if (float(rbn) < tol * bn and float(rhn) < tol * hn
+                and float(rcn) < tol * cn
+                and (float(gap) < tol or float(mu) < tol)):
+            x, y, s, z = xp, yp, sp, zp
+            converged = True
+            break
         if ctrl.verbose:
-            print(f"  it {it}: mu={mu:.3e} obj={c @ x:.8g}")
+            print(f"  it {it}: mu={float(mu):.3e} gap={float(gap):.3e}")
 
+    x, y, s, z = (np.asarray(v) for v in (x, y, s, z))
     return LPResult(x, y, z, float(c @ x), it, converged, s=s)
 
 

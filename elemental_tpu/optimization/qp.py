@@ -4,82 +4,109 @@ QP solvers, spec from ``examples/interface/QP*.py`` callers):
   direct form:  min ½ xᵀQx + cᵀx  s.t.  A·x = b,  x ≥ 0
   box form:     min ½ xᵀQx + cᵀx  s.t.  l ≤ x ≤ u
 
-Mehrotra predictor-corrector on the augmented quasi-definite KKT
-[[Q + Θ, −Aᵀ], [A, δI]] (LU + refinement, as in :mod:`.lp`)."""
+Mehrotra predictor-corrector on the fixed-pattern quasi-definite KKT
+[[Q + Θ + γI, Aᵀ], [A, −δI]] through the multifrontal RegularizedLDL —
+Θ = z/x is the only per-iteration change (``ChangeNonzeroValues`` reuse,
+``DistSparseLDLFactorization.cpp:149``); the whole step is one jitted
+device program."""
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional
 
 import numpy as np
-import scipy.linalg as sla
+
+import jax
+import jax.numpy as jnp
 
 from ..sparse.csr import SparseMatrix
-from .lp import LPCtrl, LPResult, _steplen
+from .kkt import KKTBuilder
+from .lp import LPCtrl, LPResult, _steplen_j
 
 
 def qp_direct(Q, A, b: np.ndarray, c: np.ndarray,
               ctrl: Optional[LPCtrl] = None) -> LPResult:
     """min ½xᵀQx + cᵀx s.t. Ax = b, x ≥ 0 (reference ``QPDirect``)."""
     ctrl = ctrl or LPCtrl()
-    Qd = Q.to_dense() if isinstance(Q, SparseMatrix) else np.asarray(Q)
-    Ad = A.to_dense() if isinstance(A, SparseMatrix) else np.asarray(A)
-    m, n = Ad.shape
+    if not isinstance(Q, SparseMatrix):
+        Q = SparseMatrix.from_dense(np.asarray(Q))
+    if not isinstance(A, SparseMatrix):
+        A = SparseMatrix.from_dense(np.asarray(A))
+    m, n = A.shape
+    N = n + m
+    gamma = delta = ctrl.reg
 
-    x = np.ones(n)
-    y = np.zeros(m)
-    z = np.ones(n)
-    bnorm, cnorm = np.linalg.norm(b) + 1, np.linalg.norm(c) + 1
+    kb = KKTBuilder(N)
+    qrows = np.repeat(np.arange(n), Q.row_nnz())
+    arows = np.repeat(np.arange(m), A.row_nnz()) + n
+    kb.add_static(qrows, Q.colind, Q.vals)
+    kb.add_static(arows, A.colind, A.vals)
+    kb.add_static(A.colind, arows, A.vals)
+    kb.add_static(np.arange(n), np.arange(n), np.full(n, gamma))
+    kb.add_static(np.arange(n, N), np.arange(n, N), np.full(m, -delta))
+    kb.add_dynamic(np.arange(n), np.arange(n))  # Θ
+    kkt = kb.finalize(perm=ctrl.ordering)
+    reg_diag = jnp.concatenate([jnp.full(n, gamma), jnp.full(m, -delta)])
+
+
+    Qd = Q.device_csr()
+    Ad, Atd = A.device_csr(), A.transpose().device_csr()
+    bj, cj = jnp.asarray(b), jnp.asarray(c)
+    tau, tol = ctrl.tau, ctrl.tol
+    nref = ctrl.refine_iters
+
+    @jax.jit
+    def step(x, y, z):
+        rb = bj - Ad.matvec(x)
+        rc = cj + Qd.matvec(x) - Atd.matvec(y) - z
+        mu = x @ z / n
+        theta = z / x
+        fact = kkt.prepare(kkt.assemble([theta]))
+
+        def directions(rmu):
+            # (Q+Θ)dx − Aᵀdy = −rc + rmu/x ; A dx = rb
+            # symmetric K[p;q] = [f;g] with dy = −q
+            rhs = jnp.concatenate([-rc + rmu / x, rb])
+            sol = fact.solve_refined(rhs, reg_diag, iters=nref)
+            dx, dy = sol[:n], -sol[n:]
+            dz = (rmu - z * dx) / x
+            return dx, dy, dz
+
+        dxa, _, dza = directions(-x * z)
+        ap = _steplen_j(x, dxa, 1.0)
+        ad = _steplen_j(z, dza, 1.0)
+        mu_aff = (x + ap * dxa) @ (z + ad * dza) / n
+        sigma = jnp.where(mu > 0, (mu_aff / mu) ** 3, 0.0)
+        dx, dy, dz = directions(sigma * mu - x * z - dxa * dza)
+        alpha = jnp.minimum(_steplen_j(x, dx, tau), _steplen_j(z, dz, tau))
+        return (x + alpha * dx, y + alpha * dy, z + alpha * dz,
+                jnp.linalg.norm(rb), jnp.linalg.norm(rc), mu)
+
+    x = jnp.ones(n, bj.dtype)
+    y = jnp.zeros(m, bj.dtype)
+    z = jnp.ones(n, bj.dtype)
+    bnorm = float(np.linalg.norm(b)) + 1.0
+    cnorm = float(np.linalg.norm(c)) + 1.0
 
     it = 0
     converged = False
     for it in range(1, ctrl.max_iters + 1):
-        rb = b - Ad @ x
-        rc = c + Qd @ x - Ad.T @ y - z
-        mu = x @ z / n
-        obj = 0.5 * x @ Qd @ x + c @ x
-        if (np.linalg.norm(rb) / bnorm < ctrl.tol
-                and np.linalg.norm(rc) / cnorm < ctrl.tol
-                and mu < ctrl.tol):
+        xp, yp, zp = x, y, z
+        x, y, z, rbn, rcn, mu = step(x, y, z)
+        if not np.isfinite(float(rbn) + float(rcn) + float(mu)):
+            x, y, z = xp, yp, zp
+            break
+        if (float(rbn) / bnorm < tol and float(rcn) / cnorm < tol
+                and float(mu) < tol):
+            x, y, z = xp, yp, zp
             converged = True
             break
-        theta = z / x
-        K = np.zeros((n + m, n + m))
-        K[:n, :n] = Qd + np.diag(theta)
-        K[:n, n:] = -Ad.T
-        K[n:, :n] = Ad
-        K[n:, n:] = -ctrl.reg * np.eye(m)
-        lu_piv = sla.lu_factor(K)
-
-        def directions(rmu):
-            # (Q+Θ)dx − Aᵀdy = −rc + rmu/x ; A dx = rb
-            rhs = np.concatenate([-rc + rmu / x, rb])
-            sol = sla.lu_solve(lu_piv, rhs)
-            r2 = rhs - np.concatenate([
-                (Qd + np.diag(theta)) @ sol[:n] - Ad.T @ sol[n:],
-                Ad @ sol[:n]])
-            sol = sol + sla.lu_solve(lu_piv, r2)
-            dx, dy = sol[:n], sol[n:]
-            dz = (rmu - z * dx) / x
-            return dx, dy, dz
-
-        dxa, dya, dza = directions(-x * z)
-        ap = _steplen(x, dxa, 1.0)
-        ad = _steplen(z, dza, 1.0)
-        mu_aff = ((x + ap * dxa) @ (z + ad * dza)) / n
-        sigma = (mu_aff / mu) ** 3 if mu > 0 else 0.0
-        dx, dy, dz = directions(sigma * mu - x * z - dxa * dza)
-        ap = _steplen(x, dx, ctrl.tau)
-        ad = _steplen(z, dz, ctrl.tau)
-        alpha = min(ap, ad)
-        x = x + alpha * dx
-        y = y + alpha * dy
-        z = z + alpha * dz
         if ctrl.verbose:
-            print(f"  it {it}: mu={mu:.3e} obj={obj:.8g}")
+            print(f"  it {it}: mu={float(mu):.3e}")
 
-    obj = float(0.5 * x @ Qd @ x + c @ x)
+    x, y, z = np.asarray(x), np.asarray(y), np.asarray(z)
+    Qx = np.asarray(Qd.matvec(jnp.asarray(x)))
+    obj = float(0.5 * x @ Qx + c @ x)
     return LPResult(x, y, z, obj, it, converged)
 
 
@@ -92,10 +119,17 @@ def qp_box(Q, c: np.ndarray, lower: np.ndarray, upper: np.ndarray,
     lower = np.asarray(lower, float)
     upper = np.asarray(upper, float)
     span = upper - lower
+    Qs = Q if isinstance(Q, SparseMatrix) \
+        else SparseMatrix.from_dense(np.asarray(Q))
     # variables v = [s; t]; Q̂ acts on s only; constraint s + t = span
-    Qh = np.zeros((2 * n, 2 * n))
-    Qh[:n, :n] = Q.to_dense() if isinstance(Q, SparseMatrix) else np.asarray(Q)
-    ch = np.concatenate([c + Qh[:n, :n] @ lower, np.zeros(n)])
-    Ah = np.concatenate([np.eye(n), np.eye(n)], axis=1)
+    qrows = np.repeat(np.arange(n), Qs.row_nnz())
+    Qh = SparseMatrix.from_coo(2 * n, 2 * n, qrows, Qs.colind, Qs.vals)
+    Ql = np.zeros(n)
+    np.add.at(Ql, qrows, Qs.vals * lower[Qs.colind])
+    ch = np.concatenate([c + Ql, np.zeros(n)])
+    idx = np.arange(n)
+    Ah = SparseMatrix.from_coo(
+        n, 2 * n, np.concatenate([idx, idx]),
+        np.concatenate([idx, idx + n]), np.ones(2 * n))
     res = qp_direct(Qh, Ah, span, ch, ctrl)
     return lower + res.x[:n]

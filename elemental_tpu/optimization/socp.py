@@ -6,9 +6,13 @@ atoms over a product of Lorentz cones given by ``orders``/``firstInds``).
   K = K₁ × ... × K_r, each K_i = {(s₀, s̄) : s₀ ≥ ‖s̄‖}
 
 Solver: infeasible primal-dual path following on the self-scaled barrier
-F(s) = −Σ log(s₀² − ‖s̄‖²), Newton steps on the perturbed KKT with the exact
-barrier Hessian μ∇²F(s) (quasi-definite augmented system, LU + refinement).
-"""
+F(s) = −Σ log(s₀² − ‖s̄‖²).  The Newton system is the fixed-pattern
+quasi-definite KKT [[γI, Aᵀ, Gᵀ], [A, −δI, 0], [G, 0, −H̃⁻¹−δI]] with
+H̃ = σμ∇²F(s); the per-cone inverse-Hessian blocks H⁻¹ = ssᵀ − (det/2)·J
+(the quadratic representation Q_s/2) are the dynamic slot — cones are
+grouped by order and the block values computed with one vmapped einsum per
+group, so each iteration is a single jitted device program through the
+multifrontal LDL (symbolic analysis reused across iterations)."""
 
 from __future__ import annotations
 
@@ -16,10 +20,13 @@ import dataclasses
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
-import scipy.linalg as sla
+
+import jax
+import jax.numpy as jnp
 
 from ..sparse.csr import SparseMatrix
-from .lp import LPCtrl, LPResult
+from .kkt import KKTBuilder
+from .lp import LPCtrl
 
 
 # --------------------------------------------------------------------------
@@ -96,9 +103,8 @@ def max_step(s: np.ndarray, ds: np.ndarray, cones: Cones,
 
 
 def _barrier_hessian(s: np.ndarray, cones: Cones) -> np.ndarray:
-    """∇²F(s) for F = −Σ log det(s_i): block-diagonal with blocks
-    (2/det²)(J s)(J s)ᵀ − (... ) standard: H = (2/det) * (2/det (Js)(Js)ᵀ·det − J)…
-    Exact: ∇F = −2 Js/det;  ∇²F = (4/det²)(Js)(Js)ᵀ − (2/det)J."""
+    """∇²F(s) = (4/det²)(Js)(Js)ᵀ − (2/det)J per cone, J = diag(1,−1,…,−1)
+    (host helper; the device hot loop uses the closed-form inverse)."""
     H = np.zeros((cones.dim, cones.dim))
     for f, o in zip(cones.first, cones.orders):
         sb = s[f:f + o]
@@ -121,6 +127,131 @@ def _barrier_grad(s: np.ndarray, cones: Cones) -> np.ndarray:
     return g
 
 
+class ConeOps:
+    """Order-grouped, jit-safe cone operations: cones of equal order are
+    stacked so every per-cone formula is one vmapped tensor op."""
+
+    def __init__(self, cones: Cones):
+        orders = np.asarray(cones.orders)
+        first = np.asarray(cones.first)
+        self.dim = cones.dim
+        self.r = len(cones.orders)
+        self.groups: List[Tuple[int, jnp.ndarray]] = []
+        for o in sorted(set(orders.tolist())):
+            f = first[orders == o]
+            idx = f[:, None] + np.arange(o)[None, :]
+            self.groups.append((int(o), jnp.asarray(idx.astype(np.int32))))
+
+    @staticmethod
+    def _det(sb: jnp.ndarray) -> jnp.ndarray:
+        return sb[:, 0] ** 2 - jnp.sum(sb[:, 1:] ** 2, axis=1)
+
+    @staticmethod
+    def _jmul(vb: jnp.ndarray) -> jnp.ndarray:
+        """J·v per row, J = diag(1, −1, …, −1)."""
+        return jnp.concatenate([vb[:, :1], -vb[:, 1:]], axis=1)
+
+    def min_eig(self, s: jnp.ndarray) -> jnp.ndarray:
+        vals = [jnp.min(s[idx][:, 0]
+                        - jnp.linalg.norm(s[idx][:, 1:], axis=1))
+                for _, idx in self.groups]
+        return jnp.min(jnp.stack(vals))
+
+    def grad(self, s: jnp.ndarray) -> jnp.ndarray:
+        """∇F(s) = −2·Js/det per cone."""
+        g = jnp.zeros_like(s)
+        for _, idx in self.groups:
+            sb = s[idx]
+            det = self._det(sb)
+            gb = -2.0 * self._jmul(sb) / det[:, None]
+            g = g.at[idx].set(gb)
+        return g
+
+    def duality(self, s: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+        return s @ z / self.r
+
+    def hinv_vals(self, s: jnp.ndarray) -> jnp.ndarray:
+        """Flattened per-cone blocks of (∇²F(s))⁻¹ = ssᵀ − (det/2)·J, in
+        group-major order (matches the dynamic-slot layout)."""
+        outs = []
+        for o, idx in self.groups:
+            sb = s[idx]
+            det = self._det(sb)
+            blocks = jnp.einsum("ci,cj->cij", sb, sb)
+            jdiag = jnp.concatenate(
+                [jnp.ones((1,), s.dtype), -jnp.ones((o - 1,), s.dtype)])
+            blocks = blocks - 0.5 * det[:, None, None] * jnp.diag(jdiag)[None]
+            outs.append(blocks.reshape(-1))
+        return jnp.concatenate(outs)
+
+    def hinv_apply(self, s: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+        """(∇²F(s))⁻¹·v = s(sᵀv) − (det/2)·Jv per cone."""
+        out = jnp.zeros_like(v)
+        for _, idx in self.groups:
+            sb, vb = s[idx], v[idx]
+            det = self._det(sb)
+            dot = jnp.sum(sb * vb, axis=1)
+            ob = sb * dot[:, None] - 0.5 * det[:, None] * self._jmul(vb)
+            out = out.at[idx].set(ob)
+        return out
+
+    def hess_vals(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Flattened per-cone blocks of ∇²F(z) = (4/det²)(Jz)(Jz)ᵀ −
+        (2/det)J, group-major (matches the dynamic-slot layout)."""
+        outs = []
+        for o, idx in self.groups:
+            zb = z[idx]
+            det = self._det(zb)
+            jz = self._jmul(zb)
+            blocks = (4.0 / det[:, None, None] ** 2) \
+                * jnp.einsum("ci,cj->cij", jz, jz)
+            jdiag = jnp.concatenate(
+                [jnp.ones((1,), z.dtype), -jnp.ones((o - 1,), z.dtype)])
+            blocks = blocks - (2.0 / det[:, None, None]) \
+                * jnp.diag(jdiag)[None]
+            outs.append(blocks.reshape(-1))
+        return jnp.concatenate(outs)
+
+    def hess_apply(self, z: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+        """∇²F(z)·v = (4/det²)(Jz)((Jz)ᵀv) − (2/det)Jv per cone."""
+        out = jnp.zeros_like(v)
+        for _, idx in self.groups:
+            zb, vb = z[idx], v[idx]
+            det = self._det(zb)
+            jz = self._jmul(zb)
+            dot = jnp.sum(jz * vb, axis=1)
+            ob = (4.0 / det[:, None] ** 2) * jz * dot[:, None] \
+                - (2.0 / det[:, None]) * self._jmul(vb)
+            out = out.at[idx].set(ob)
+        return out
+
+    def dyn_indices(self, offset: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(rows, cols) of the per-cone dense blocks, group-major, shifted
+        by ``offset`` — the dynamic-slot pattern for :class:`KKTBuilder`."""
+        rows, cols = [], []
+        for o, idx in self.groups:
+            gi = np.asarray(idx) + offset
+            rows.append(np.broadcast_to(gi[:, :, None],
+                                        (gi.shape[0], o, o)).reshape(-1))
+            cols.append(np.broadcast_to(gi[:, None, :],
+                                        (gi.shape[0], o, o)).reshape(-1))
+        return np.concatenate(rows), np.concatenate(cols)
+
+    def max_step(self, s: jnp.ndarray, ds: jnp.ndarray,
+                 tau: float) -> jnp.ndarray:
+        """Largest α ≤ 1 with s + α·ds ∈ K (bisection, jit-safe)."""
+        full = self.min_eig(s + ds) > 0
+
+        def body(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            ok = self.min_eig(s + mid * ds) > 0
+            return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+        lo, _ = jax.lax.fori_loop(0, 50, body, (jnp.zeros(()), jnp.ones(())))
+        return jnp.where(full, 1.0, tau * lo)
+
+
 @dataclasses.dataclass
 class SOCPResult:
     x: np.ndarray
@@ -136,68 +267,99 @@ def socp_affine(A, b: np.ndarray, G, h: np.ndarray, c: np.ndarray,
                 cones: Cones, ctrl: Optional[LPCtrl] = None) -> SOCPResult:
     """min cᵀx s.t. Ax = b, Gx + s = h, s ∈ K (reference ``SOCPAffine``)."""
     ctrl = ctrl or LPCtrl()
-    Ad = A.to_dense() if isinstance(A, SparseMatrix) else np.asarray(A)
-    Gd = G.to_dense() if isinstance(G, SparseMatrix) else np.asarray(G)
-    m, n = Ad.shape if Ad.size else (0, c.shape[0])
+    if not isinstance(A, SparseMatrix):
+        A = SparseMatrix.from_dense(np.asarray(A))
+    if not isinstance(G, SparseMatrix):
+        G = SparseMatrix.from_dense(np.asarray(G))
+    m, n = A.shape
+    if n == 0:
+        n = c.shape[0]
     k = cones.dim
-    e = soc_identity(cones)
-    r_cones = len(cones.orders)
+    N = n + m + k
+    gamma = delta = ctrl.reg
+    ops = ConeOps(cones)
 
-    x = np.zeros(n)
-    s = e.copy()
-    z = e.copy()
-    y = np.zeros(m)
+    kb = KKTBuilder(N)
+    if A.nnz:
+        arows = np.repeat(np.arange(m), A.row_nnz()) + n
+        kb.add_static(arows, A.colind, A.vals)
+        kb.add_static(A.colind, arows, A.vals)
+    grows = np.repeat(np.arange(k), G.row_nnz()) + n + m
+    kb.add_static(grows, G.colind, G.vals)
+    kb.add_static(G.colind, grows, G.vals)
+    kb.add_static(np.arange(n), np.arange(n), np.full(n, gamma))
+    if m:
+        kb.add_static(np.arange(n, n + m), np.arange(n, n + m),
+                      np.full(m, -delta))
+    kb.add_static(np.arange(n + m, N), np.arange(n + m, N),
+                  np.full(k, -delta))
+    drows, dcols = ops.dyn_indices(n + m)
+    kb.add_dynamic(drows, dcols)  # −σμ∇²F(z) cone blocks
+    kkt = kb.finalize(perm=ctrl.ordering)
+    reg_diag = jnp.concatenate([jnp.full(n, gamma), jnp.full(m, -delta),
+                                jnp.full(k, -delta)])
 
+
+    Ad, Atd = A.device_csr(), A.transpose().device_csr()
+    Gd, Gtd = G.device_csr(), G.transpose().device_csr()
+    bj, hj, cj = jnp.asarray(b), jnp.asarray(h), jnp.asarray(c)
+    tau, tol = ctrl.tau, ctrl.tol
+    nref = ctrl.refine_iters
+    sigma = 0.25
+
+    @jax.jit
+    def step(x, y, s, z):
+        rb = bj - Ad.matvec(x)
+        rh = hj - Gd.matvec(x) - s
+        rc = -(cj + Atd.matvec(y) + Gtd.matvec(z))
+        mu = ops.duality(s, z)
+        gap = s @ z
+        pobj = cj @ x
+        # dual-linearized central path (HKM-dual): s = −σμ∇F(z) ⇒
+        #   ds + σμ∇²F(z) dz = −(s + σμ∇F(z)) = −rmu
+        # eliminating ds keeps the (3,3) block NEGATIVE definite (the
+        # quasi-definite shape the pivot-free LDL needs):
+        #   G dx − σμ∇²F(z) dz = rh + rmu
+        sm = sigma * mu
+        rmu = s + sm * ops.grad(z)
+        fact = kkt.prepare(kkt.assemble([-sm * ops.hess_vals(z)]))
+        rhs = jnp.concatenate([rc, rb, rh + rmu])
+        sol = fact.solve_refined(rhs, reg_diag, iters=nref)
+        dx, dy, dz = sol[:n], sol[n:n + m], sol[n + m:]
+        ds = -sm * ops.hess_apply(z, dz) - rmu
+        ap = ops.max_step(s, ds, tau)
+        ad = ops.max_step(z, dz, tau)
+        alpha = jnp.minimum(jnp.minimum(ap, ad), 1.0)
+        return (x + alpha * dx, y + alpha * dy, s + alpha * ds,
+                z + alpha * dz,
+                jnp.linalg.norm(rb), jnp.linalg.norm(rh),
+                jnp.linalg.norm(rc), gap, pobj)
+
+    e = jnp.asarray(soc_identity(cones))
+    x = jnp.zeros(n, e.dtype)
+    s = e
+    z = e
+    y = jnp.zeros(m, e.dtype)
+
+    bn = 1 + float(np.linalg.norm(b))
+    hn = 1 + float(np.linalg.norm(h))
+    cn = 1 + float(np.linalg.norm(c))
     it = 0
     converged = False
     for it in range(1, ctrl.max_iters + 1):
-        rb = b - Ad @ x if m else np.zeros(0)
-        rh = h - Gd @ x - s
-        rc = -(c + (Ad.T @ y if m else 0) + Gd.T @ z)
-        mu = (s @ z) / r_cones
-        gap = s @ z
-        pobj = c @ x
-        if (np.linalg.norm(rb) < ctrl.tol * (1 + np.linalg.norm(b))
-                and np.linalg.norm(rh) < ctrl.tol * (1 + np.linalg.norm(h))
-                and np.linalg.norm(rc) < ctrl.tol * (1 + np.linalg.norm(c))
-                and gap < ctrl.tol * (1 + abs(pobj))):
+        xp, yp, sp, zp = x, y, s, z
+        x, y, s, z, rbn, rhn, rcn, gap, pobj = step(x, y, s, z)
+        if not np.isfinite(float(rbn) + float(rcn) + float(gap)):
+            x, y, s, z = xp, yp, sp, zp
+            break
+        if (float(rbn) < tol * bn and float(rhn) < tol * hn
+                and float(rcn) < tol * cn
+                and float(gap) < tol * (1 + abs(float(pobj)))):
+            x, y, s, z = xp, yp, sp, zp
             converged = True
             break
-
-        sigma = 0.25
-        H = _barrier_hessian(s, cones)
-        gF = _barrier_grad(s, cones)
-        # central-path Newton: z + σμ∇F(s) ≈ 0 linearized:
-        #   dz − σμ H ds = −(z + σμ gF)
-        # with A dx = rb, G dx + ds = rh, Aᵀdy + Gᵀdz = rc
-        # eliminate ds = rh − G dx, dz = −(z + σμ gF) + σμ H (rh − G dx):
-        #   Aᵀ dy − σμ GᵀH G dx = rc + Gᵀ(z + σμ gF) − σμ GᵀH rh
-        muH = sigma * mu * H
-        K = np.zeros((n + m, n + m))
-        K[:n, :n] = Gd.T @ muH @ Gd + ctrl.reg * np.eye(n)
-        if m:
-            K[:n, n:] = Ad.T
-            K[n:, :n] = Ad
-            K[n:, n:] = -ctrl.reg * np.eye(m)
-        rmu = z + sigma * mu * gF
-        rhs1 = rc + Gd.T @ rmu + Gd.T @ (muH @ rh)
-        rhs = np.concatenate([rhs1, rb]) if m else rhs1
-        sol = np.linalg.solve(K, rhs) if m else np.linalg.solve(K[:n, :n],
-                                                                rhs)
-        dx = sol[:n]
-        dy = sol[n:] if m else np.zeros(0)
-        ds = rh - Gd @ dx
-        dz = -rmu - muH @ ds
-
-        ap = max_step(s, ds, cones, ctrl.tau)
-        ad = max_step(z, dz, cones, ctrl.tau)
-        alpha = min(ap, ad, 1.0)
-        x = x + alpha * dx
-        y = y + alpha * dy
-        s = s + alpha * ds
-        z = z + alpha * dz
         if ctrl.verbose:
-            print(f"  it {it}: mu={mu:.3e} gap={gap:.3e} obj={pobj:.8g} "
-                  f"alpha={alpha:.3f}")
+            print(f"  it {it}: gap={float(gap):.3e} obj={float(pobj):.8g}")
 
+    x, y, s, z = (np.asarray(v) for v in (x, y, s, z))
     return SOCPResult(x, y, z, s, float(c @ x), it, converged)

@@ -10,7 +10,7 @@ from typing import Optional
 import numpy as np
 
 from ..sparse.csr import SparseMatrix
-from .lp import LPCtrl, lp_direct
+from .lp import LPCtrl, lp_affine, lp_direct
 from .qp import qp_direct
 from .socp import Cones, socp_affine
 
@@ -31,32 +31,31 @@ def basis_pursuit(A, b: np.ndarray, ctrl: Optional[LPCtrl] = None
 
 
 def lav(A, b: np.ndarray, ctrl: Optional[LPCtrl] = None) -> np.ndarray:
-    """Least absolute value regression: min ‖Ax − b‖₁ (reference ``LAV.py``):
-    min Σ(u+v) s.t. Ax − b = u − v, u,v ≥ 0, x free (split)."""
+    """Least absolute value regression: min ‖Ax − b‖₁ (reference ``LAV.py``,
+    which routes through ``El.LPAffine``): min Σtᵢ s.t. |aᵢᵀx − bᵢ| ≤ tᵢ
+    with x free — the affine form avoids the degenerate sign-splitting."""
     Ad = _dense(A)
     m, n = Ad.shape
-    # vars: [x⁺, x⁻, u, v] ≥ 0 ; A(x⁺−x⁻) − u + v = b
-    blocks = np.concatenate([Ad, -Ad, -np.eye(m), np.eye(m)], axis=1)
-    c = np.concatenate([np.zeros(2 * n), np.ones(2 * m)])
-    res = lp_direct(SparseMatrix.from_dense(blocks), b, c, ctrl)
-    return res.x[:n] - res.x[n:2 * n]
+    G = np.block([[Ad, -np.eye(m)], [-Ad, -np.eye(m)]])
+    h = np.concatenate([b, -b])
+    c = np.concatenate([np.zeros(n), np.ones(m)])
+    res = lp_affine(SparseMatrix.from_dense(np.zeros((0, n + m))),
+                    np.zeros(0), SparseMatrix.from_dense(G), h, c, ctrl)
+    return res.x[:n]
 
 
 def chebyshev_point(A, b: np.ndarray, ctrl: Optional[LPCtrl] = None
                     ) -> np.ndarray:
-    """min ‖Ax − b‖∞ (reference ``CP.py``) as an LP with bound t."""
+    """min ‖Ax − b‖∞ (reference ``CP.py``, routed through ``El.LPAffine``):
+    min t s.t. ±(Ax − b) ≤ t·1 with x, t free."""
     Ad = _dense(A)
     m, n = Ad.shape
-    # vars [x⁺, x⁻, t, s₁, s₂ ≥ 0]: Ax − b ≤ t·1, −(Ax − b) ≤ t·1
-    top = np.concatenate([Ad, -Ad, -np.ones((m, 1)), np.eye(m),
-                          np.zeros((m, m))], axis=1)
-    bot = np.concatenate([-Ad, Ad, -np.ones((m, 1)), np.zeros((m, m)),
-                          np.eye(m)], axis=1)
-    A_std = SparseMatrix.from_dense(np.concatenate([top, bot], axis=0))
-    b_std = np.concatenate([b, -b])
-    c = np.concatenate([np.zeros(2 * n), [1.0], np.zeros(2 * m)])
-    res = lp_direct(A_std, b_std, c, ctrl)
-    return res.x[:n] - res.x[n:2 * n]
+    G = np.block([[Ad, -np.ones((m, 1))], [-Ad, -np.ones((m, 1))]])
+    h = np.concatenate([b, -b])
+    c = np.concatenate([np.zeros(n), [1.0]])
+    res = lp_affine(SparseMatrix.from_dense(np.zeros((0, n + 1))),
+                    np.zeros(0), SparseMatrix.from_dense(G), h, c, ctrl)
+    return res.x[:n]
 
 
 def dantzig_selector(A, b: np.ndarray, lam: float,

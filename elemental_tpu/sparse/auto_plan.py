@@ -2,31 +2,26 @@
 matrix (the dispatch tier of the reference's sparse ``Multiply``,
 ``tests/blas_like/Multiply.cpp:19-46``, re-designed around TPU constraints).
 
-TPU has no vector gather: XLA lowers ``x[cols]`` to a scalar loop, measured
-at ~0.05 Gnnz/s on v5e — a ~2400x cliff below the halo-panel stencil kernel
-(121 Gnnz/s, ~82% HBM speed-of-light).  The TPU-native route for a matrix
-that is not stencil-shaped as given is the classical banded-solver one:
-reduce bandwidth with a symmetric RCM reordering, then run the banded
-(DIA/stencil) kernel in the permuted space.  The plan carries the
-permutation; solves (CG etc.) run entirely in plan space with one
-permutation each way at the boundary.
-
-Measured on v5e (n=2^20, 9-diagonal banded scrambled by a random symmetric
-permutation): ``stencil_rcm`` runs at 138.7 Gnnz/s (678 GB/s streamed ≈ 83%
-HBM SoL) vs 0.05 Gnnz/s for the same matrix on the ELL gather path.
+TPU gather speeds are wildly layout-dependent: a FLAT 1-D gather
+``x[colind]`` + sorted-rows ``segment_sum`` compiles to HBM-bandwidth code
+(measured 132 Gnnz/s on a power-law graph, n=2^20, on v5e ≈ speed of light
+for 8 B/nnz), while the 2-D-indexed ELL gather ``x[cols_2d]`` drops to a
+~0.1 Gnnz/s scalar loop.  The banded/stencil Pallas kernel remains the top
+tier (fewer index bytes: ~4 B/nnz, measured 168 Gnnz/s), with RCM
+reordering to reach it for scrambled banded matrices (138.7 Gnnz/s); the
+flat-CSR form is the fallback that now covers EVERYTHING ELSE at ~SoL.
 
 Dispatch order (``plan_spmv``):
 
 1. ``stencil``      — matrix is already DIA-profitable: halo-panel kernel.
 2. ``stencil_rcm``  — square matrix whose RCM reordering is DIA-profitable.
-3. ``ell``          — fallback (gather path; correct everywhere, slow on
-                      TPU — the plan records this in ``kind`` so callers
-                      can warn or reroute to CPU).
+3. ``csr``          — flat gather + segment-sum: unstructured SoL path.
 
 Profitability: the stencil kernel streams one weight plane of ``n`` values
-per distinct offset, so its bytes/SpMV ≈ (S+2)·n·itemsize.  Even a 16x
-stream overhead beats the gather cliff by two orders of magnitude, hence
-the generous default ``max_stream_ratio``.
+per distinct offset, so its bytes/SpMV ≈ (S+2)·n·itemsize; the CSR path
+streams (4 + itemsize) B/nnz.  The stencil tier is taken only when its
+stream volume undercuts the CSR fallback (``max_stream_ratio`` bounds the
+padding waste).
 """
 
 from __future__ import annotations
@@ -38,7 +33,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from .csr import SparseMatrix, ELLMatrix
+from .csr import CSRDevice, SparseMatrix
 from .dia import to_dia
 
 
@@ -49,12 +44,12 @@ class SpMVPlan:
     ``to_plan_space``/``from_plan_space`` at the boundary (host-side
     gathers — one-off per solve, never in the hot loop)."""
 
-    kind: str                      # 'stencil' | 'stencil_rcm' | 'ell'
+    kind: str                      # 'stencil' | 'stencil_rcm' | 'csr'
     height: int
     width: int
     nnz: int
     stencil: Optional[object] = None       # kernels.spmv.StencilPlan
-    ell: Optional[ELLMatrix] = None
+    csr: Optional[CSRDevice] = None
     perm: Optional[np.ndarray] = None      # plan index -> original index
     iperm: Optional[np.ndarray] = None
 
@@ -62,14 +57,15 @@ class SpMVPlan:
         if self.stencil is not None:
             return dataclasses.replace(
                 self, stencil=self.stencil.device(device, dtype))
-        ell = self.ell
+        csr = self.csr
         if device is not None or dtype is not None:
             import jax
-            vals = ell.vals if dtype is None else ell.vals.astype(dtype)
-            ell = ELLMatrix(ell.height, ell.width,
-                            jax.device_put(ell.cols, device),
-                            jax.device_put(vals, device), ell.dropped)
-        return dataclasses.replace(self, ell=ell)
+            vals = csr.vals if dtype is None else csr.vals.astype(dtype)
+            csr = CSRDevice(csr.height, csr.width,
+                            jax.device_put(csr.rows, device),
+                            jax.device_put(csr.colind, device),
+                            jax.device_put(vals, device))
+        return dataclasses.replace(self, csr=csr)
 
     # -- permutation boundary (host numpy; one-off per solve) ------------
     def to_plan_space(self, x: np.ndarray) -> np.ndarray:
@@ -83,7 +79,23 @@ class SpMVPlan:
         if self.stencil is not None:
             from ..kernels.spmv import stencil_spmv
             return stencil_spmv(self.stencil, x)
-        return self.ell.matvec(x)
+        return self.csr.matvec(x)
+
+    def jitted_matvec(self):
+        """Compiled y = A·x with the plan data passed as jit ARGUMENTS.
+        Closing over the index arrays would embed them as jaxpr constants,
+        which drops XLA's TPU gather to a ~0.06 Gnnz/s scalar path (vs ~136
+        as arguments; measured on v5e) — always prefer this to
+        ``jax.jit(plan.matvec)``."""
+        import jax
+        if self.stencil is not None:
+            from ..kernels.spmv import stencil_spmv
+            f = jax.jit(stencil_spmv)
+            st = self.stencil
+            return lambda x: f(st, x)
+        f = jax.jit(lambda csr, x: csr.matvec(x))
+        csr = self.csr
+        return lambda x: f(csr, x)
 
     @property
     def stream_bytes(self) -> int:
@@ -92,8 +104,8 @@ class SpMVPlan:
             s = len(self.stencil.shifts)
             item = np.asarray(self.stencil.weights).dtype.itemsize
             return (s + 2) * self.stencil.rows * self.stencil.cols * item
-        item = np.asarray(self.ell.vals).dtype.itemsize
-        return self.ell.cols.size * (4 + item) + 2 * self.height * item
+        item = np.asarray(self.csr.vals).dtype.itemsize
+        return self.nnz * (8 + item) + 2 * self.height * item
 
 
 def _permuted(A: SparseMatrix, p: np.ndarray) -> SparseMatrix:
@@ -132,4 +144,4 @@ def plan_spmv(A: SparseMatrix, cols: int = 1024, try_rcm: bool = True,
             return SpMVPlan("stencil_rcm", A.height, A.width, A.nnz,
                             stencil=st, perm=p, iperm=ip)
 
-    return SpMVPlan("ell", A.height, A.width, A.nnz, ell=A.device_ell())
+    return SpMVPlan("csr", A.height, A.width, A.nnz, csr=A.device_csr())

@@ -3,12 +3,21 @@
 ``tests/lapack_like/SparseLDL.cpp:50-210``, ``examples/interface/BP.py``).
 
 TPU-native design: 1D row-block partition over the *flattened* mesh axis
-('mc','mr') — the analog of the reference's [VC,*] sparse distribution.  Local
-rows live as padded-ELL blocks stacked along a leading shard axis that is
-sharded over the flat mesh, so the distributed SpMV is a ``shard_map`` of the
-local ELL kernel; the source vector is all-gathered (halo-compressed gathers
-are a later optimisation — for PDE matrices the gather is ring-neighbor
-traffic XLA already schedules on ICI).
+('mc','mr') — the analog of the reference's [VC,*] sparse distribution.
+
+Communication is **halo-compressed** (the reference's ``SparseAllToAll``
+pattern, ``Process.hpp:150-275``): at build time each shard's column
+footprint is split by owner, and the SpMV exchanges ONLY the off-shard
+entries actually referenced, via one padded ``all_to_all`` (ICI-friendly);
+the shard's own x-block is read locally.  The transpose SpMV reuses the
+same plan with the exchange reversed: local partials accumulate into the
+compressed halo workspace and ride the all_to_all back to the owning
+shards — so ``Multiply(TRANSPOSE, DistSparseMatrix, …)`` is a first-class
+distributed kernel, not a host fallback.
+
+Local compute is the FLAT 1-D gather + sorted segment-sum form — the
+layout XLA compiles to HBM speed-of-light on TPU (2-D-indexed ELL gathers
+fall onto a ~1000× slower scalar path; see ``sparse/csr.py``).
 """
 
 from __future__ import annotations
@@ -24,7 +33,7 @@ from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..core.grid import Grid
-from .csr import ELLMatrix, Graph, SparseMatrix
+from .csr import Graph, SparseMatrix
 
 FLAT = P(("mc", "mr"))
 
@@ -36,38 +45,94 @@ def _flat_sharding(grid: Grid, ndim: int = 1) -> NamedSharding:
 
 @dataclasses.dataclass
 class DistSparseMatrix:
-    """Row-block-partitioned sparse matrix on a grid.
+    """Row-block-partitioned sparse matrix on a grid with a precomputed
+    halo-exchange plan.
 
-    ``cols``/``vals`` have shape (p, rows_per_shard, ell_width), sharded on
-    axis 0 over the flat mesh; shard i owns global rows
-    [i·rows_per_shard, (i+1)·rows_per_shard).
+    Per-shard storage (leading axis p sharded over the flat mesh):
+      * ``lrows``/``lcols``/``lvals`` (p, E): flat local CSR triplets, row
+        ids local to the shard, column ids addressing the local workspace
+        ``w = [own x-block (cs) | halo (p·H)]``; padded entries carry
+        value 0.
+      * ``send_idx`` (p, p, H): ``send_idx[j, i, t]`` = index into shard
+        j's x-block of the t-th entry shard i needs from j (the plan of
+        the padded all_to_all; H = max off-shard footprint block).
     """
 
     height: int
     width: int
     grid: Grid
-    cols: jnp.ndarray       # (p, rs, w) int32  — global column indices
-    vals: jnp.ndarray       # (p, rs, w)
+    lrows: jnp.ndarray      # (p, E) int32
+    lcols: jnp.ndarray      # (p, E) int32 — workspace-local
+    lvals: jnp.ndarray      # (p, E)
+    send_idx: jnp.ndarray   # (p, p, H) int32
+    cs: int                 # x-block size per shard (width partition)
+    rs: int                 # rows per shard
+    halo: int               # H
     nnz: int
+    val_slot: np.ndarray    # host: padded slot of each original CSR value
     host: Optional[SparseMatrix] = None  # host CSR (symbolic reuse, IO)
 
+    # -- construction --------------------------------------------------------
     @classmethod
-    def from_sparse(cls, A: SparseMatrix, grid: Optional[Grid] = None,
-                    ell_width: Optional[int] = None) -> "DistSparseMatrix":
+    def from_sparse(cls, A: SparseMatrix, grid: Optional[Grid] = None
+                    ) -> "DistSparseMatrix":
         if grid is None:
             grid = Grid.default()
         p = grid.size
-        rs = (A.height + p - 1) // p
-        ecols, evals, _ = A.host_ell(width=ell_width)
-        cols = np.zeros((p * rs, ecols.shape[1]), np.int32)
-        vals = np.zeros((p * rs, evals.shape[1]), A.vals.dtype)
-        cols[:A.height] = ecols
-        vals[:A.height] = evals
-        sh = _flat_sharding(grid, 3)
+        rs = -(-A.height // p)
+        cs = -(-A.width // p)
+        rows = np.repeat(np.arange(A.height), A.row_nnz())
+        cols = np.asarray(A.colind)
+        shard = (rows // rs).astype(np.int64)
+        owner = (cols // cs).astype(np.int64)
+
+        # footprints: for each (reader i, owner j≠i) the sorted unique
+        # off-shard columns; H = max block (padded all_to_all width)
+        off = shard != owner
+        fkey = shard[off] * (p * A.width) + owner[off] * A.width + cols[off]
+        funiq = np.unique(fkey)
+        f_i = funiq // (p * A.width)
+        f_j = (funiq // A.width) % p
+        f_c = funiq % A.width
+        counts = np.zeros((p, p), np.int64)
+        np.add.at(counts, (f_i, f_j), 1)
+        H = max(1, int(counts.max()) if counts.size else 1)
+        send_idx = np.zeros((p, p, H), np.int32)
+        # position of each footprint entry within its (i,j) block
+        blk_key = f_i * p + f_j
+        blk_start = np.searchsorted(blk_key, np.arange(p * p))
+        pos_in_blk = np.arange(funiq.size) - blk_start[blk_key]
+        send_idx[f_j, f_i, pos_in_blk] = (f_c - f_j * cs).astype(np.int32)
+
+        # localized column index per entry
+        lcol = np.where(off, 0, cols - owner * cs).astype(np.int64)
+        if off.any():
+            pos = np.searchsorted(funiq, fkey)
+            lcol[off] = cs + f_j[pos] * H + pos_in_blk[pos]
+
+        # pack per-shard flat triplets, padded to common E
+        per = np.zeros(p, np.int64)
+        np.add.at(per, shard, 1)
+        E = max(1, int(per.max()))
+        lrows = np.zeros((p, E), np.int32)
+        lcolsa = np.zeros((p, E), np.int32)
+        lvalsa = np.zeros((p, E), A.vals.dtype)
+        # entries are in CSR order → within each shard already row-sorted
+        starts = np.concatenate([[0], np.cumsum(per)])
+        slot_of = np.arange(rows.size) - starts[shard]
+        lrows[shard, slot_of] = (rows - shard * rs).astype(np.int32)
+        lcolsa[shard, slot_of] = lcol.astype(np.int32)
+        lvalsa[shard, slot_of] = A.vals
+        val_slot = shard * E + slot_of      # original CSR entry → padded slot
+
+        sh3 = NamedSharding(grid.mesh, P(("mc", "mr"), None, None))
+        sh2 = NamedSharding(grid.mesh, P(("mc", "mr"), None))
         return cls(A.height, A.width, grid,
-                   jax.device_put(cols.reshape(p, rs, -1), sh),
-                   jax.device_put(vals.reshape(p, rs, -1), sh),
-                   A.nnz, host=A)
+                   jax.device_put(lrows, sh2),
+                   jax.device_put(lcolsa, sh2),
+                   jax.device_put(lvalsa, sh2),
+                   jax.device_put(send_idx, sh3),
+                   cs, rs, H, A.nnz, val_slot, host=A)
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -75,55 +140,98 @@ class DistSparseMatrix:
 
     @property
     def rows_per_shard(self) -> int:
-        return self.cols.shape[1]
+        return self.rs
 
     def change_nonzero_values(self, new_host_vals) -> "DistSparseMatrix":
-        """Reference ``ChangeNonzeroValues``: same structure, new numbers —
-        re-uses the device layout and any symbolic analysis."""
-        assert self.host is not None
-        newA = self.host.change_nonzero_values(new_host_vals)
-        return DistSparseMatrix.from_sparse(newA, self.grid,
-                                            ell_width=self.cols.shape[2])
+        """Reference ``ChangeNonzeroValues``: same structure/plan, new
+        numbers — only the padded value array is re-shipped."""
+        v = np.asarray(new_host_vals)
+        p, E = self.lvals.shape
+        flat = np.zeros(p * E, v.dtype)
+        flat[self.val_slot] = v
+        sh2 = NamedSharding(self.grid.mesh, P(("mc", "mr"), None))
+        newA = (self.host.change_nonzero_values(v)
+                if self.host is not None else None)
+        return dataclasses.replace(
+            self, lvals=jax.device_put(flat.reshape(p, E), sh2), host=newA)
 
     # -- distributed kernels ------------------------------------------------
+    def _axis(self):
+        return ("mc", "mr")
+
+    def _xblocks(self, x: jnp.ndarray, size: int) -> jnp.ndarray:
+        """Pad a global vector/matrix to p·size and shard its rows."""
+        p = self.grid.size
+        pad = p * size - x.shape[0]
+        if pad > 0:
+            x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        return jax.lax.with_sharding_constraint(
+            x, _flat_sharding(self.grid, x.ndim))
+
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
-        """y = A·x with x replicated/global (length width); returns global y
-        (length height), row-partitioned then reassembled."""
-        grid = self.grid
-        p = grid.size
-        rs = self.rows_per_shard
+        """y = A·x — halo all_to_all + flat local gather/segment-sum."""
+        return self._apply(x, transpose=False)
 
-        def local(cols_blk, vals_blk, xg):
-            # cols_blk: (1, rs, w) — this shard's rows
-            y = jnp.sum(vals_blk[0] * xg[cols_blk[0]], axis=1)
-            return y[None]
-
-        fn = shard_map(local, mesh=grid.mesh,
-                       in_specs=(P(("mc", "mr")), P(("mc", "mr")), P(None)),
-                       out_specs=P(("mc", "mr")))
-        xg = jax.lax.with_sharding_constraint(
-            x, NamedSharding(grid.mesh, P(None)))
-        y = fn(self.cols, self.vals, xg)
-        return y.reshape(p * rs)[:self.height]
+    def matvec_transpose(self, x: jnp.ndarray) -> jnp.ndarray:
+        """y = Aᵀ·x — local partials into the compressed workspace, then
+        the REVERSED halo exchange scatters them to the owning shards."""
+        return self._apply(x, transpose=True)
 
     def matmat(self, X: jnp.ndarray) -> jnp.ndarray:
+        return self._apply(X, transpose=False)
+
+    def matmat_transpose(self, X: jnp.ndarray) -> jnp.ndarray:
+        return self._apply(X, transpose=True)
+
+    def _apply(self, x: jnp.ndarray, transpose: bool) -> jnp.ndarray:
         grid = self.grid
         p = grid.size
-        rs = self.rows_per_shard
+        rs, cs, H = self.rs, self.cs, self.halo
+        axis = self._axis()
+        x = jnp.asarray(x)
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[:, None]
+        k = x.shape[1]
+        nseg = cs + p * H
 
-        def local(cols_blk, vals_blk, xg):
-            y = jnp.einsum("rw,rwk->rk", vals_blk[0], xg[cols_blk[0]],
-                           optimize=True)
-            return y[None]
+        if not transpose:
+            xg = self._xblocks(x, cs)
 
-        fn = shard_map(local, mesh=grid.mesh,
-                       in_specs=(P(("mc", "mr")), P(("mc", "mr")),
-                                 P(None, None)),
-                       out_specs=P(("mc", "mr")))
-        xg = jax.lax.with_sharding_constraint(
-            X, NamedSharding(grid.mesh, P(None, None)))
-        y = fn(self.cols, self.vals, xg)
-        return y.reshape(p * rs, -1)[:self.height]
+            def local(lrows, lcols, lvals, sidx, xb):
+                xb = xb.reshape(cs, k)
+                send = xb[sidx[0].reshape(-1)].reshape(p, H * k)
+                recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=False)
+                w = jnp.concatenate([xb, recv.reshape(p * H, k)], axis=0)
+                prod = lvals[0][:, None] * w[lcols[0]]
+                y = jax.ops.segment_sum(prod, lrows[0], num_segments=rs,
+                                        indices_are_sorted=True)
+                return y
+
+            fn = shard_map(local, mesh=grid.mesh,
+                           in_specs=(FLAT, FLAT, FLAT, FLAT, FLAT),
+                           out_specs=FLAT)
+            y = fn(self.lrows, self.lcols, self.lvals, self.send_idx, xg)
+            y = y[:self.height]
+        else:
+            xg = self._xblocks(x, rs)
+
+            def local_t(lrows, lcols, lvals, sidx, xb):
+                xb = xb.reshape(rs, k)
+                prod = lvals[0][:, None] * xb[lrows[0]]
+                w = jax.ops.segment_sum(prod, lcols[0], num_segments=nseg)
+                send = w[cs:].reshape(p, H * k)
+                recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=False)
+                y = w[:cs].at[sidx[0].reshape(-1)].add(
+                    recv.reshape(p * H, k))
+                return y
+
+            fn = shard_map(local_t, mesh=grid.mesh,
+                           in_specs=(FLAT, FLAT, FLAT, FLAT, FLAT),
+                           out_specs=FLAT)
+            y = fn(self.lrows, self.lcols, self.lvals, self.send_idx, xg)
+            y = y[:self.width]
+        return y[:, 0] if squeeze else y
 
 
 @dataclasses.dataclass

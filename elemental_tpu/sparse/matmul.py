@@ -37,13 +37,20 @@ def multiply(orientation: str, alpha, A, X, beta=0.0, Y=None):
             A = A.transpose()
         elif o in ("C", "A"):
             A = A.transpose().conj()
-        dev = A.device_ell()
+        dev = A.device_csr()   # flat 1-D gather form (TPU SoL; see csr.py)
         xv = X.data if isinstance(X, DistMultiVec) else jnp.asarray(X)
         prod = dev.matvec(xv) if xv.ndim == 1 else dev.matmat(xv)
     elif isinstance(A, DistSparseMatrix):
-        assert o == "N", "transpose distributed SpMV: transpose on host first"
         xv = X.data if isinstance(X, DistMultiVec) else jnp.asarray(X)
-        prod = A.matvec(xv) if xv.ndim == 1 else A.matmat(xv)
+        if o == "N":
+            prod = A.matvec(xv) if xv.ndim == 1 else A.matmat(xv)
+        else:
+            # distributed transpose: the reversed halo exchange
+            # (reference Multiply(TRANSPOSE, DistSparseMatrix, ...))
+            if o in ("C", "A"):
+                A = A.change_nonzero_values(np.conj(A.host.vals))
+            prod = (A.matvec_transpose(xv) if xv.ndim == 1
+                    else A.matmat_transpose(xv))
     elif isinstance(A, (ELLMatrix, CSRDevice)):
         xv = jnp.asarray(X)
         prod = A.matvec(xv) if xv.ndim == 1 else A.matmat(xv)

@@ -46,7 +46,7 @@ def test_scrambled_banded_recovers_via_rcm():
     _check(plan, A, rng)
 
 
-def test_unstructured_falls_back_to_ell():
+def test_unstructured_falls_back_to_csr():
     rng = np.random.default_rng(2)
     n, k = 256, 4
     rows = np.repeat(np.arange(n), k)
@@ -55,7 +55,7 @@ def test_unstructured_falls_back_to_ell():
     S = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
     A = SparseMatrix.from_scipy(S)
     plan = plan_spmv(A, cols=128)
-    assert plan.kind == "ell"
+    assert plan.kind == "csr"
     _check(plan, A, rng)
 
 

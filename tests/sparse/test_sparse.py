@@ -209,3 +209,51 @@ def test_symmetric_scale_and_diag():
     A2 = A.update_diagonal(np.ones(20))
     np.testing.assert_allclose(A2.to_dense(), A.to_dense() + np.eye(20),
                                rtol=1e-12)
+
+
+def test_dist_spmv_transpose(grid8):
+    """Distributed transpose SpMV via the reversed halo exchange
+    (reference Multiply(TRANSPOSE, DistSparseMatrix, ...))."""
+    import scipy.sparse as sp
+    R = sp.random(100, 75, density=0.08, format="csr", random_state=3)
+    A = SparseMatrix.from_scipy(R)
+    dA = DistSparseMatrix.from_sparse(A, grid8)
+    x = RNG.standard_normal(100)
+    np.testing.assert_allclose(np.asarray(dA.matvec_transpose(x)),
+                               R.T @ x, rtol=1e-10, atol=1e-12)
+    X = RNG.standard_normal((100, 3))
+    np.testing.assert_allclose(np.asarray(dA.matmat_transpose(X)),
+                               R.T @ X, rtol=1e-10, atol=1e-12)
+
+
+def test_dist_multiply_orientations(grid8):
+    from elemental_tpu.sparse.matmul import multiply
+    A = sparse_laplacian_2d(10, 10)
+    dA = DistSparseMatrix.from_sparse(A, grid8)
+    x = RNG.standard_normal(100)
+    np.testing.assert_allclose(np.asarray(multiply("T", 2.0, dA, x)),
+                               2.0 * A.to_dense().T @ x, rtol=1e-10)
+
+
+def test_dist_spmv_no_full_allgather(grid8):
+    """The halo-compressed SpMV must NOT replicate x: the compiled HLO's
+    collectives move only the footprint (p·H ≪ n); assert no all-gather of
+    the full vector appears (VERDICT round-1 item #3 done-criterion)."""
+    import jax
+    A = sparse_laplacian_2d(16, 16)      # n = 256; halo H = 16 per shard
+    dA = DistSparseMatrix.from_sparse(A, grid8)
+
+    def run(lrows, lcols, lvals, sidx, x):
+        import dataclasses as dc
+        d = dc.replace(dA, lrows=lrows, lcols=lcols, lvals=lvals,
+                       send_idx=sidx)
+        return d.matvec(x)
+
+    x = jnp.zeros(256)
+    txt = jax.jit(run).lower(dA.lrows, dA.lcols, dA.lvals, dA.send_idx,
+                             x).compile().as_text()
+    # all-to-all of the halo plan is expected; a full-size all-gather
+    # (producing a 256-element replicated operand) is the failure mode
+    bad = [ln for ln in txt.splitlines()
+           if "all-gather" in ln and "f64[256" in ln.replace(" ", "")]
+    assert not bad, bad[:2]
