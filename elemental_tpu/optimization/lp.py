@@ -210,17 +210,23 @@ def lp_direct(A: SparseMatrix, b: np.ndarray, c: np.ndarray,
             return ap_c * 0.7, ad_c * 0.7, i + 1
 
         ap, ad, _ = jax.lax.while_loop(cond, backoff, (ap, ad, 0))
-        return (x + ap * dx, y + ad * dy, z + ad * dz,
-                jnp.linalg.norm(rb), jnp.linalg.norm(rc), gap)
+        xn, yn, zn = x + ap * dx, y + ad * dy, z + ad * dz
+        # finiteness of the NEW iterate: a NaN step must be caught in the
+        # iteration that produced it (the residual norms below belong to the
+        # INPUT iterate and stay finite one step too long).
+        ok = (jnp.all(jnp.isfinite(xn)) & jnp.all(jnp.isfinite(yn))
+              & jnp.all(jnp.isfinite(zn)))
+        return (xn, yn, zn,
+                jnp.linalg.norm(rb), jnp.linalg.norm(rc), gap, ok)
 
     x, y, z = start()
     it = 0
     converged = False
     for it in range(1, ctrl.max_iters + 1):
         xp, yp, zp = x, y, z
-        x, y, z, rbn, rcn, gap = step(x, y, z)
+        x, y, z, rbn, rcn, gap, ok = step(x, y, z)
         rbn, rcn, gap = float(rbn), float(rcn), float(gap)
-        if not np.isfinite(rbn + rcn + gap):
+        if not bool(ok) or not np.isfinite(rbn + rcn + gap):
             x, y, z = xp, yp, zp   # numerical breakdown: keep last finite
             break
         if rbn / bnorm < tol and rcn / cnorm < tol and gap < tol:
@@ -309,12 +315,15 @@ def lp_affine(A: SparseMatrix, b: np.ndarray, G: SparseMatrix,
             dx, dy, dz, ds = directions(sigma_ipf * mu - s * z)
 
         alpha = jnp.minimum(_steplen_j(s, ds, tau), _steplen_j(z, dz, tau))
-        return (x + alpha * dx, y + alpha * dy, s + alpha * ds,
-                z + alpha * dz,
+        xn, yn = x + alpha * dx, y + alpha * dy
+        sn, zn = s + alpha * ds, z + alpha * dz
+        ok = (jnp.all(jnp.isfinite(xn)) & jnp.all(jnp.isfinite(yn))
+              & jnp.all(jnp.isfinite(sn)) & jnp.all(jnp.isfinite(zn)))
+        return (xn, yn, sn, zn,
                 jnp.linalg.norm(rb), jnp.linalg.norm(rh),
-                jnp.linalg.norm(rc), gap, mu)
+                jnp.linalg.norm(rc), gap, mu, ok)
 
-    x = jnp.zeros(n, jnp.asarray(b).dtype if b.size else jnp.float64)
+    x = jnp.zeros(n, jnp.result_type(hj, cj))
     y = jnp.zeros(m, x.dtype)
     s = jnp.maximum(hj - Gd.matvec(x), 1.0)
     z = jnp.ones(k, x.dtype)
@@ -326,8 +335,9 @@ def lp_affine(A: SparseMatrix, b: np.ndarray, G: SparseMatrix,
     converged = False
     for it in range(1, ctrl.max_iters + 1):
         xp, yp, sp, zp = x, y, s, z
-        x, y, s, z, rbn, rhn, rcn, gap, mu = step(x, y, s, z)
-        if not np.isfinite(float(rbn) + float(rcn) + float(gap)):
+        x, y, s, z, rbn, rhn, rcn, gap, mu, ok = step(x, y, s, z)
+        if not bool(ok) or not np.isfinite(float(rbn) + float(rcn)
+                                           + float(gap)):
             x, y, s, z = xp, yp, sp, zp
             break
         if (float(rbn) < tol * bn and float(rhn) < tol * hn

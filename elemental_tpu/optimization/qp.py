@@ -79,8 +79,11 @@ def qp_direct(Q, A, b: np.ndarray, c: np.ndarray,
         sigma = jnp.where(mu > 0, (mu_aff / mu) ** 3, 0.0)
         dx, dy, dz = directions(sigma * mu - x * z - dxa * dza)
         alpha = jnp.minimum(_steplen_j(x, dx, tau), _steplen_j(z, dz, tau))
-        return (x + alpha * dx, y + alpha * dy, z + alpha * dz,
-                jnp.linalg.norm(rb), jnp.linalg.norm(rc), mu)
+        xn, yn, zn = x + alpha * dx, y + alpha * dy, z + alpha * dz
+        # finiteness of the NEW iterate (the residuals are of the input)
+        ok = (jnp.all(jnp.isfinite(xn)) & jnp.all(jnp.isfinite(yn))
+              & jnp.all(jnp.isfinite(zn)))
+        return (xn, yn, zn, jnp.linalg.norm(rb), jnp.linalg.norm(rc), mu, ok)
 
     x = jnp.ones(n, bj.dtype)
     y = jnp.zeros(m, bj.dtype)
@@ -92,8 +95,9 @@ def qp_direct(Q, A, b: np.ndarray, c: np.ndarray,
     converged = False
     for it in range(1, ctrl.max_iters + 1):
         xp, yp, zp = x, y, z
-        x, y, z, rbn, rcn, mu = step(x, y, z)
-        if not np.isfinite(float(rbn) + float(rcn) + float(mu)):
+        x, y, z, rbn, rcn, mu, ok = step(x, y, z)
+        if not bool(ok) or not np.isfinite(float(rbn) + float(rcn)
+                                           + float(mu)):
             x, y, z = xp, yp, zp
             break
         if (float(rbn) / bnorm < tol and float(rcn) / cnorm < tol

@@ -330,10 +330,14 @@ def socp_affine(A, b: np.ndarray, G, h: np.ndarray, c: np.ndarray,
         ap = ops.max_step(s, ds, tau)
         ad = ops.max_step(z, dz, tau)
         alpha = jnp.minimum(jnp.minimum(ap, ad), 1.0)
-        return (x + alpha * dx, y + alpha * dy, s + alpha * ds,
-                z + alpha * dz,
+        xn, yn = x + alpha * dx, y + alpha * dy
+        sn, zn = s + alpha * ds, z + alpha * dz
+        # finiteness of the NEW iterate (the residuals are of the input)
+        ok = (jnp.all(jnp.isfinite(xn)) & jnp.all(jnp.isfinite(yn))
+              & jnp.all(jnp.isfinite(sn)) & jnp.all(jnp.isfinite(zn)))
+        return (xn, yn, sn, zn,
                 jnp.linalg.norm(rb), jnp.linalg.norm(rh),
-                jnp.linalg.norm(rc), gap, pobj)
+                jnp.linalg.norm(rc), gap, pobj, ok)
 
     e = jnp.asarray(soc_identity(cones))
     x = jnp.zeros(n, e.dtype)
@@ -348,8 +352,9 @@ def socp_affine(A, b: np.ndarray, G, h: np.ndarray, c: np.ndarray,
     converged = False
     for it in range(1, ctrl.max_iters + 1):
         xp, yp, sp, zp = x, y, s, z
-        x, y, s, z, rbn, rhn, rcn, gap, pobj = step(x, y, s, z)
-        if not np.isfinite(float(rbn) + float(rcn) + float(gap)):
+        x, y, s, z, rbn, rhn, rcn, gap, pobj, ok = step(x, y, s, z)
+        if not bool(ok) or not np.isfinite(float(rbn) + float(rcn)
+                                           + float(gap)):
             x, y, s, z = xp, yp, sp, zp
             break
         if (float(rbn) < tol * bn and float(rhn) < tol * hn

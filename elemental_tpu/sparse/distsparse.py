@@ -114,7 +114,10 @@ class DistSparseMatrix:
         per = np.zeros(p, np.int64)
         np.add.at(per, shard, 1)
         E = max(1, int(per.max()))
-        lrows = np.zeros((p, E), np.int32)
+        # padding slots carry row id rs: out-of-range ids are DROPPED by
+        # segment_sum and keep each shard's row array sorted (the
+        # indices_are_sorted contract below; trailing zeros would violate it)
+        lrows = np.full((p, E), rs, np.int32)
         lcolsa = np.zeros((p, E), np.int32)
         lvalsa = np.zeros((p, E), A.vals.dtype)
         # entries are in CSR order → within each shard already row-sorted

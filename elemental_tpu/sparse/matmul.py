@@ -48,6 +48,10 @@ def multiply(orientation: str, alpha, A, X, beta=0.0, Y=None):
             # distributed transpose: the reversed halo exchange
             # (reference Multiply(TRANSPOSE, DistSparseMatrix, ...))
             if o in ("C", "A"):
+                if A.host is None:
+                    raise ValueError(
+                        "adjoint DistSparse multiply requires the host CSR "
+                        "(matrix was built/updated host-stripped)")
                 A = A.change_nonzero_values(np.conj(A.host.vals))
             prod = (A.matvec_transpose(xv) if xv.ndim == 1
                     else A.matmat_transpose(xv))
