@@ -90,7 +90,7 @@ class KKTBuilder:
         if perm is None:
             from ..sparse_direct.ordering import nested_dissection
             perm = nested_dissection(pattern, cutoff=cutoff)
-        symb = analyze(pattern, perm=perm, relax=relax)
+        symb = analyze(pattern, perm=perm, relax=relax).device()
         return KKTSystem(N, pattern, symb,
                          jnp.asarray(base, jdtype),
                          [jnp.asarray(p.astype(np.int32)) for p in dyn_pos],
@@ -223,3 +223,14 @@ class KKTFactor:
         # monotone safeguard: keep the Krylov correction only if it helps
         better = jnp.linalg.norm(rhs - K0(cand)) < beta
         return jnp.where(better, cand, x0)
+
+
+# Pytrees: KKT containers pass through jit as ARGUMENTS so the plan index
+# arrays (csr_rows/cols, dyn_pos, the symbolic level plans) never become
+# jaxpr constants — constants push XLA's TPU gather/scatter onto a ~0.06
+# Gnnz/s scalar path (see core/statics.py).
+from ..core.statics import register_plan_pytree  # noqa: E402
+
+register_plan_pytree(KKTSystem, ("symb", "base_vals", "dyn_pos",
+                                 "csr_rows", "csr_cols"))
+register_plan_pytree(KKTFactor, ("sys", "vals", "pool", "d", "scale"))

@@ -138,21 +138,25 @@ def lp_direct(A: SparseMatrix, b: np.ndarray, c: np.ndarray,
     tol, tau = ctrl.tol, ctrl.tau
     nref = ctrl.refine_iters
 
-    def kfactor(theta):
+    # device containers (kkt, Ad, Atd) and data vectors are passed to the
+    # jitted start/step as ARGUMENTS — closing over them would embed the
+    # index arrays as jaxpr constants, the TPU scalar-gather cliff
+    # (core/statics.py)
+    def kfactor(kkt, theta):
         return kkt.prepare(kkt.assemble([theta]))
 
-    def ksolve(fact, f, g):
+    def ksolve(fact, reg_diag, f, g):
         sol = fact.solve_refined(jnp.concatenate([f, g]), reg_diag,
                                  iters=nref)
         return sol[:n], sol[n:]
 
     @jax.jit
-    def start():
+    def start(kkt, reg_diag, bj, cj):
         """Mehrotra starting point from the Θ=I system: min-norm Ax=b
         iterate and dual least squares, shifted into the orthant."""
-        fact = kfactor(jnp.ones(n, bj.dtype))
-        x_t, _ = ksolve(fact, jnp.zeros(n, bj.dtype), bj)
-        z_t, yq = ksolve(fact, cj, jnp.zeros(m, bj.dtype))
+        fact = kfactor(kkt, jnp.ones(n, bj.dtype))
+        x_t, _ = ksolve(fact, reg_diag, jnp.zeros(n, bj.dtype), bj)
+        z_t, yq = ksolve(fact, reg_diag, cj, jnp.zeros(m, bj.dtype))
         y = yq
         dx = jnp.maximum(-1.5 * jnp.min(x_t), 0.0)
         dz = jnp.maximum(-1.5 * jnp.min(z_t), 0.0)
@@ -167,16 +171,16 @@ def lp_direct(A: SparseMatrix, b: np.ndarray, c: np.ndarray,
     sigma_ipf = ctrl.sigma_ipf
 
     @jax.jit
-    def step(x, y, z):
+    def step(x, y, z, kkt, reg_diag, Ad, Atd, bj, cj):
         rb = bj - Ad.matvec(x)
         rc = cj - Atd.matvec(y) - z
         mu = x @ z / n
         gap = jnp.abs(cj @ x - bj @ y) / (1 + jnp.abs(cj @ x))
         theta = z / x
-        fact = kfactor(theta)
+        fact = kfactor(kkt, theta)
 
         def directions(rmu):
-            p, q = ksolve(fact, rmu / x - rc, rb)
+            p, q = ksolve(fact, reg_diag, rmu / x - rc, rb)
             dx, dy = p, -q
             dz = rc - Atd.matvec(dy)
             return dx, dy, dz
@@ -219,12 +223,13 @@ def lp_direct(A: SparseMatrix, b: np.ndarray, c: np.ndarray,
         return (xn, yn, zn,
                 jnp.linalg.norm(rb), jnp.linalg.norm(rc), gap, ok)
 
-    x, y, z = start()
+    x, y, z = start(kkt, reg_diag, bj, cj)
     it = 0
     converged = False
     for it in range(1, ctrl.max_iters + 1):
         xp, yp, zp = x, y, z
-        x, y, z, rbn, rcn, gap, ok = step(x, y, z)
+        x, y, z, rbn, rcn, gap, ok = step(x, y, z, kkt, reg_diag, Ad, Atd,
+                                          bj, cj)
         rbn, rcn, gap = float(rbn), float(rcn), float(gap)
         if not bool(ok) or not np.isfinite(rbn + rcn + gap):
             x, y, z = xp, yp, zp   # numerical breakdown: keep last finite
@@ -285,7 +290,7 @@ def lp_affine(A: SparseMatrix, b: np.ndarray, G: SparseMatrix,
     sigma_ipf = ctrl.sigma_ipf
 
     @jax.jit
-    def step(x, y, s, z):
+    def step(x, y, s, z, kkt, reg_diag, Ad, Atd, Gd, Gtd, bj, hj, cj):
         rb = bj - Ad.matvec(x)
         rh = hj - Gd.matvec(x) - s
         rc = -(cj + Atd.matvec(y) + Gtd.matvec(z))
@@ -335,7 +340,8 @@ def lp_affine(A: SparseMatrix, b: np.ndarray, G: SparseMatrix,
     converged = False
     for it in range(1, ctrl.max_iters + 1):
         xp, yp, sp, zp = x, y, s, z
-        x, y, s, z, rbn, rhn, rcn, gap, mu, ok = step(x, y, s, z)
+        x, y, s, z, rbn, rhn, rcn, gap, mu, ok = step(
+            x, y, s, z, kkt, reg_diag, Ad, Atd, Gd, Gtd, bj, hj, cj)
         if not bool(ok) or not np.isfinite(float(rbn) + float(rcn)
                                            + float(gap)):
             x, y, s, z = xp, yp, sp, zp

@@ -56,7 +56,7 @@ def qp_direct(Q, A, b: np.ndarray, c: np.ndarray,
     nref = ctrl.refine_iters
 
     @jax.jit
-    def step(x, y, z):
+    def step(x, y, z, kkt, reg_diag, Qd, Ad, Atd, bj, cj):
         rb = bj - Ad.matvec(x)
         rc = cj + Qd.matvec(x) - Atd.matvec(y) - z
         mu = x @ z / n
@@ -95,7 +95,7 @@ def qp_direct(Q, A, b: np.ndarray, c: np.ndarray,
     converged = False
     for it in range(1, ctrl.max_iters + 1):
         xp, yp, zp = x, y, z
-        x, y, z, rbn, rcn, mu, ok = step(x, y, z)
+        x, y, z, rbn, rcn, mu, ok = step(x, y, z, kkt, reg_diag, Qd, Ad, Atd, bj, cj)
         if not bool(ok) or not np.isfinite(float(rbn) + float(rcn)
                                            + float(mu)):
             x, y, z = xp, yp, zp

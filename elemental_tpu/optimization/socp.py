@@ -252,6 +252,26 @@ class ConeOps:
         return jnp.where(full, 1.0, tau * lo)
 
 
+def _coneops_flatten(o):
+    from ..core.statics import _aux_of
+    return [idx for _, idx in o.groups], _aux_of(o)
+
+
+def _coneops_unflatten(aux, leaves):
+    src = aux.value
+    new = object.__new__(ConeOps)
+    new.__dict__.update(src.__dict__)
+    new.groups = [(o, idx) for (o, _), idx in zip(src.groups, leaves)]
+    new.__dict__["_aux"] = aux
+    return new
+
+
+# pytree: the cone index groups ride through jit as ARGUMENTS (constants
+# hit the TPU scalar gather path; see core/statics.py)
+jax.tree_util.register_pytree_node(ConeOps, _coneops_flatten,
+                                   _coneops_unflatten)
+
+
 @dataclasses.dataclass
 class SOCPResult:
     x: np.ndarray
@@ -308,7 +328,7 @@ def socp_affine(A, b: np.ndarray, G, h: np.ndarray, c: np.ndarray,
     sigma = 0.25
 
     @jax.jit
-    def step(x, y, s, z):
+    def step(x, y, s, z, kkt, reg_diag, ops, Ad, Atd, Gd, Gtd, bj, hj, cj):
         rb = bj - Ad.matvec(x)
         rh = hj - Gd.matvec(x) - s
         rc = -(cj + Atd.matvec(y) + Gtd.matvec(z))
@@ -352,7 +372,8 @@ def socp_affine(A, b: np.ndarray, G, h: np.ndarray, c: np.ndarray,
     converged = False
     for it in range(1, ctrl.max_iters + 1):
         xp, yp, sp, zp = x, y, s, z
-        x, y, s, z, rbn, rhn, rcn, gap, pobj, ok = step(x, y, s, z)
+        x, y, s, z, rbn, rhn, rcn, gap, pobj, ok = step(
+            x, y, s, z, kkt, reg_diag, ops, Ad, Atd, Gd, Gtd, bj, hj, cj)
         if not bool(ok) or not np.isfinite(float(rbn) + float(rcn)
                                            + float(gap)):
             x, y, s, z = xp, yp, sp, zp

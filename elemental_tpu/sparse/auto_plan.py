@@ -108,6 +108,12 @@ class SpMVPlan:
         return self.nnz * (8 + item) + 2 * self.height * item
 
 
+# pytree: plans pass through jit as ARGUMENTS (see core/statics.py)
+from ..core.statics import register_plan_pytree  # noqa: E402
+
+register_plan_pytree(SpMVPlan, ("stencil", "csr"))
+
+
 def _permuted(A: SparseMatrix, p: np.ndarray) -> SparseMatrix:
     sp = A.to_scipy().tocsr()
     return SparseMatrix.from_scipy(sp[p][:, p])

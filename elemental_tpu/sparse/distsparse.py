@@ -237,6 +237,15 @@ class DistSparseMatrix:
         return y[:, 0] if squeeze else y
 
 
+# pytree: the shard/halo-plan arrays pass through jit as ARGUMENTS (closing
+# over them embeds jaxpr constants — the TPU scalar-gather cliff; see
+# core/statics.py).  Grid/sizes/host CSR ride the identity aux.
+from ..core.statics import register_plan_pytree  # noqa: E402
+
+register_plan_pytree(DistSparseMatrix, ("lrows", "lcols", "lvals",
+                                        "send_idx"))
+
+
 @dataclasses.dataclass
 class DistMultiVec:
     """Row-partitioned dense multivector (reference ``DistMultiVec`` — the

@@ -58,7 +58,10 @@ class SparseLDLFactorization:
         if perm is None:
             from .ordering import nested_dissection
             perm = nested_dissection(A, cutoff=cutoff)
-        self.symb = analyze(A, perm=perm, relax=relax)
+        # .device(): plan index arrays become device arrays passed to the
+        # jitted factor/solve as ARGUMENTS (constants hit the TPU scalar
+        # gather path; see core/statics.py)
+        self.symb = analyze(A, perm=perm, relax=relax).device()
         self._factor_jit = None
         self._solve_jit = {}
         return self
@@ -82,12 +85,12 @@ class SparseLDLFactorization:
         # small ops otherwise dispatch one by one (painful on remote devices)
         import jax
         if self._factor_jit is None:
-            symb, conj, dt = self.symb, self.hermitian, self._dtype
+            conj, dt = self.hermitian, self._dtype
             use_reg = reg is not None
 
             mesh, taxis, spd = self.mesh, self.tree_axis, self.spd
 
-            def _do(vals, regv):
+            def _do(symb, vals, regv):
                 num = factor(symb, vals, conjugate=conj,
                              reg=regv if use_reg else None, dtype=dt,
                              mesh=mesh, tree_axis=taxis, spd=spd)
@@ -96,7 +99,8 @@ class SparseLDLFactorization:
             self._factor_jit = jax.jit(_do)
         regv = (jnp.asarray(np.zeros(self.symb.n) if reg is None else reg)
                 )
-        pool, d = self._factor_jit(jnp.asarray(self.A.vals, self._dtype),
+        pool, d = self._factor_jit(self.symb,
+                                   jnp.asarray(self.A.vals, self._dtype),
                                    regv)
         self.numeric = LDLFactorization(self.symb, pool, d, self.hermitian)
         return self
@@ -117,13 +121,14 @@ class SparseLDLFactorization:
         b = jnp.asarray(b)
         key = (b.shape, str(b.dtype))
         if key not in self._solve_jit:
-            symb, conj = self.symb, self.hermitian
+            conj = self.hermitian
 
-            def _do(pool, d, bb):
+            def _do(symb, pool, d, bb):
                 return LDLFactorization(symb, pool, d, conj).solve(bb)
 
             self._solve_jit[key] = jax.jit(_do)
-        return self._solve_jit[key](self.numeric.pool, self.numeric.d, b)
+        return self._solve_jit[key](self.symb, self.numeric.pool,
+                                    self.numeric.d, b)
 
     def solve_with_iterative_refinement(self, b, iters: int = 6):
         assert self.numeric is not None

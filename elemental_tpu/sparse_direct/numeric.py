@@ -265,6 +265,13 @@ class LDLFactorization:
         return (jnp.sum(d > 0), jnp.sum(d < 0), jnp.sum(d == 0))
 
 
+# pytree: factor state passes through jit as an ARGUMENT (constants hit the
+# TPU scalar gather path; see core/statics.py)
+from ..core.statics import register_plan_pytree  # noqa: E402
+
+register_plan_pytree(LDLFactorization, ("symb", "pool", "d"))
+
+
 def _shard_level(fronts, mesh, axis):
     """Subtree-to-device mapping (reference ``Process.hpp:150-275``
     subtree→subteam): fronts within a level are independent subtrees, so

@@ -262,6 +262,62 @@ class SymbolicFactorization:
     def num_levels(self) -> int:
         return len(self.levels)
 
+    def device(self, device=None) -> "SymbolicFactorization":
+        """Move the plan's big index arrays onto the device (int32 when the
+        pool allows) so the plan can be passed as a jit ARGUMENT — closing
+        over them embeds jaxpr constants, which drops XLA's TPU gather/
+        scatter onto a scalar path (see ``core/statics.py``)."""
+        import jax
+        import jax.numpy as jnp
+        idt = np.int32 if self.pool_size < 2**31 - 1 else np.int64
+        put = ((lambda a: jax.device_put(a, device)) if device is not None
+               else jnp.asarray)
+
+        def conv(a):
+            return put(np.asarray(a).astype(idt, copy=False))
+
+        levels = [dataclasses.replace(
+            lev, **{f: conv(getattr(lev, f)) for f in _LEVEL_ARRAY_FIELDS})
+            for lev in self.levels]
+        return dataclasses.replace(
+            self, levels=levels,
+            perm=put(np.asarray(self.perm).astype(idt, copy=False)),
+            iperm=put(np.asarray(self.iperm).astype(idt, copy=False)))
+
+
+_LEVEL_ARRAY_FIELDS = ("front_rows", "asm_dst", "asm_src", "child_dst",
+                       "child_src", "diag_dst", "diag_cols")
+
+
+def _symb_flatten(s: SymbolicFactorization):
+    from ..core.statics import _aux_of
+    leaves = [getattr(lev, f) for lev in s.levels
+              for f in _LEVEL_ARRAY_FIELDS]
+    leaves.append(s.perm)
+    leaves.append(s.iperm)
+    return leaves, _aux_of(s)
+
+
+def _symb_unflatten(aux, leaves):
+    src = aux.value
+    it = iter(leaves)
+    levels = [dataclasses.replace(
+        lev, **{f: next(it) for f in _LEVEL_ARRAY_FIELDS})
+        for lev in src.levels]
+    new = dataclasses.replace(src, levels=levels, perm=next(it),
+                              iperm=next(it))
+    new.__dict__["_aux"] = aux
+    return new
+
+
+def _register_symb():
+    import jax
+    jax.tree_util.register_pytree_node(SymbolicFactorization, _symb_flatten,
+                                       _symb_unflatten)
+
+
+_register_symb()
+
 
 def analyze(A: SparseMatrix, perm: Optional[np.ndarray] = None,
             relax: int = 8, pad_to: int = 8) -> SymbolicFactorization:
