@@ -40,11 +40,36 @@ def lyapunov(A: Arr, C: Arr) -> Arr:
     return sylvester(A, jnp.conj(a.T), C)
 
 
-def ricatti(L: Arr, K: Arr, uplo: str = "L") -> Arr:
-    """Solve the continuous algebraic Riccati equation
-    Xᴴ·K·X + ... — reference signature ``Ricatti(W)``: given the Hamiltonian
-    W = [[Aᴴ? ...]] use :func:`ricatti_hamiltonian`."""
-    raise NotImplementedError("use ricatti_hamiltonian(A, K, L)")
+def _symmetrize(M: jnp.ndarray, uplo: str) -> jnp.ndarray:
+    """Fill the full Hermitian matrix from the given triangle (reference
+    ``UpperOrLower`` convention of ``Riccati(uplo, A, K, L, X)``)."""
+    tri = jnp.tril(M) if uplo.upper() == "L" else jnp.triu(M)
+    off = jnp.tril(M, -1) if uplo.upper() == "L" else jnp.triu(M, 1)
+    return tri + jnp.conj(off).T
+
+
+def ricatti(*args) -> Arr:
+    """Reference ``Riccati`` (``include/El/control.hpp:34-58``), both
+    overloads:
+
+    * ``ricatti(W)`` — W is the 2n×2n Hamiltonian [[A, −L], [−K, −Aᴴ]];
+    * ``ricatti(uplo, A, K, L)`` — K, L Hermitian, stored in the ``uplo``
+      triangle; solves the CARE AᴴX + XA + K − X·L·X = 0.
+
+    Returns the stabilizing solution X extracted from the sign function's
+    stable invariant subspace (same disection as the reference's
+    sign-based ``Riccati``)."""
+    if len(args) == 1:
+        W = as_array(args[0])
+        n = W.shape[0] // 2
+        A = W[:n, :n]
+        L = -W[:n, n:]
+        K = -W[n:, :n]
+        return ricatti_hamiltonian(A, K, L)
+    uplo, A, K, L = args
+    Kf = _symmetrize(as_array(K), uplo)
+    Lf = _symmetrize(as_array(L), uplo)
+    return ricatti_hamiltonian(A, like(A, Kf), like(A, Lf))
 
 
 def ricatti_hamiltonian(A: Arr, K: Arr, L: Arr) -> Arr:

@@ -57,6 +57,12 @@ def _feasible_sharding(shape, sharding: NamedSharding) -> NamedSharding:
             changed = True
     if not changed:
         return sharding
+    import warnings
+    warnings.warn(
+        f"shape {tuple(shape)} is not divisible by the mesh along "
+        f"{sharding.spec}; degrading those dimensions to REPLICATED. "
+        "Pad to a mesh-aligned shape to keep the distribution.",
+        RuntimeWarning, stacklevel=3)
     return NamedSharding(mesh, P(*spec))
 
 

@@ -96,10 +96,21 @@ def apply_q(packed: jnp.ndarray, taus: jnp.ndarray, B: Arr,
 
 
 @with_precision
-def tsqr(A: Arr, grid: Grid = None) -> QR:
-    """Tall-skinny QR by binary tree reduction over the flat mesh axis
-    (reference ``QR/TS.hpp``).  A is row-partitioned [VC,*]; each device
-    factors its local block, then R factors pairwise combine up the tree."""
+def tsqr(A: Arr, grid: Grid = None, tree: bool = None) -> QR:
+    """Tall-skinny QR over the flat mesh axis (reference ``QR/TS.hpp``).
+
+    A is row-partitioned [VC,*]; each device factors its local block, then
+    the n×n R factors combine across devices by one of two strategies:
+
+    * ``tree=True`` — butterfly all-reduce TSQR: log₂p rounds of pairwise
+      R exchange (``ppermute``) + 2n×n QR, every rank ending with the same
+      R (the reference's tree reduce, comm volume n²·log p per rank).
+    * ``tree=False`` — single all-gather of all p R factors + one p·n×n QR
+      on every rank (comm p·n² but ONE collective — lower latency).
+    * ``tree=None`` — crossover dispatch: the butterfly needs p a power of
+      two and wins when the gathered stack p·n² is large; otherwise the
+      one-shot all-gather's single-collective latency wins on ICI.
+    """
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -114,23 +125,46 @@ def tsqr(A: Arr, grid: Grid = None) -> QR:
     a_p = jnp.pad(a, ((0, pad_m - m), (0, 0)))
 
     flat_spec = P(("mc", "mr"), None)
+    axis = ("mc", "mr")
+    pow2 = (p & (p - 1)) == 0
+    if tree is None:
+        # crossover: gathered-stack bytes beyond ~4 MB → tree wins
+        tree = pow2 and p * n * n * a.dtype.itemsize > (4 << 20)
+    if tree and not pow2:
+        raise ValueError(f"tree TSQR needs a power-of-two mesh, got p={p}")
 
-    def local(ablk):
+    def local_gather(ablk):
         q0, r0 = jnp.linalg.qr(ablk, mode="reduced")
-        # gather all local Rs and QR the stack — one tree level; for p ≤ 16
-        # a single combine beats multi-level latency on ICI.
-        rs = jax.lax.all_gather(r0, ("mc", "mr"), axis=0, tiled=True)  # (p*n, n)
+        rs = jax.lax.all_gather(r0, axis, axis=0, tiled=True)  # (p*n, n)
         q1, r = jnp.linalg.qr(rs, mode="reduced")
-        rank = jax.lax.axis_index(("mc", "mr"))
+        rank = jax.lax.axis_index(axis)
         q1_blk = jax.lax.dynamic_slice_in_dim(q1, rank * n, n, 0)  # (n, n)
-        q = q0 @ q1_blk
-        # broadcast R (identical on all ranks) — keep replicated
+        return q0 @ q1_blk, r
+
+    def local_tree(ablk):
+        q0, r = jnp.linalg.qr(ablk, mode="reduced")
+        q = q0
+        rank = jax.lax.axis_index(axis)
+        for lvl in range(p.bit_length() - 1):
+            stride = 1 << lvl
+            perm = [(i, i ^ stride) for i in range(p)]
+            r_other = jax.lax.ppermute(r, axis, perm)
+            half = (rank >> lvl) & 1       # my position in the pair stack
+            # canonical order (lower rank first) so BOTH partners compute
+            # the identical stacked QR — all ranks converge to the same R
+            stack = jnp.where(half == 0,
+                              jnp.concatenate([r, r_other], axis=0),
+                              jnp.concatenate([r_other, r], axis=0))
+            q1, r = jnp.linalg.qr(stack, mode="reduced")
+            blk = jax.lax.dynamic_slice_in_dim(q1, half * n, n, 0)
+            q = q @ blk
         return q, r
 
     # check_vma=False: R is computed redundantly (identically) on every rank
-    # after the all-gather; the replication is real but not statically
-    # provable through the qr primitive.
-    fn = shard_map(local, mesh=grid.mesh, in_specs=(flat_spec,),
+    # after the combine; the replication is real but not statically provable
+    # through the qr primitive.
+    fn = shard_map(local_tree if tree else local_gather, mesh=grid.mesh,
+                   in_specs=(flat_spec,),
                    out_specs=(flat_spec, P(None, None)), check_vma=False)
     q, r = fn(jax.lax.with_sharding_constraint(
         a_p, NamedSharding(grid.mesh, flat_spec)))

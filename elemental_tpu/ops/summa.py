@@ -76,6 +76,20 @@ def _stationary_a_local(a_blk, b_blk):
     return jax.lax.psum_scatter(part, "mr", scatter_dimension=1, tiled=True)
 
 
+def _stationary_b_local(a_blk, b_blk):
+    # Keep B in place (reference SUMMA-B, ``Gemm/NN.hpp:227``): gather A
+    # fully, each 'mc' rank multiplies its k-slice against its B block and
+    # the partials reduce-scatter along 'mc' back to the [MC,MR] layout.
+    a_rep = jax.lax.all_gather(a_blk, "mr", axis=1, tiled=True)   # (m/h, k)
+    a_full = jax.lax.all_gather(a_rep, "mc", axis=0, tiled=True)  # (m, k)
+    k_h = b_blk.shape[0]
+    idx = jax.lax.axis_index("mc")
+    a_slice = jax.lax.dynamic_slice_in_dim(a_full, idx * k_h, k_h, 1)
+    part = jnp.matmul(a_slice, b_blk,
+                      preferred_element_type=a_blk.dtype)  # (m, n/w)
+    return jax.lax.psum_scatter(part, "mc", scatter_dimension=0, tiled=True)
+
+
 def _pipelined_local(a_blk, b_blk, w: int):
     """Ring collective-matmul: C_loc = Σ_t Apanel_t @ Bpanel_t with the next
     A-panel ppermuted while the current matmul runs (XLA overlaps the
@@ -121,6 +135,9 @@ def gemm_summa(A: jnp.ndarray, B: jnp.ndarray, grid: Grid,
     elif alg == "stationary_a":
         local = _stationary_a_local
         out_spec = spec
+    elif alg == "stationary_b":
+        local = _stationary_b_local
+        out_spec = spec
     elif alg == "pipelined":
         local = functools.partial(_pipelined_local, w=w)
         out_spec = spec
@@ -136,16 +153,27 @@ def gemm_summa(A: jnp.ndarray, B: jnp.ndarray, grid: Grid,
     return Cp[:m, :n]
 
 
-def choose_algorithm(m: int, n: int, k: int, grid: Grid) -> str:
-    """Size heuristic in the spirit of ``Gemm/NN.hpp:582-599``: pick the
-    variant that keeps the largest operand stationary; default to the GSPMD
-    path for small/awkward shapes."""
+def choose_algorithm(m: int, n: int, k: int, grid: Grid,
+                     itemsize: int = 4,
+                     pipeline_bytes: int = 64 << 20) -> str:
+    """Size heuristic in the spirit of ``Gemm/NN.hpp:582-599``: keep the
+    largest operand stationary; switch the stationary-C gather to the
+    ring-pipelined collective matmul when the per-device gathered panels
+    exceed ``pipeline_bytes`` (the panel then streams one ring step at a
+    time and the permute overlaps the matmul — the multistream analog,
+    ``Gemm/NN_Multistream.hpp``)."""
     p = grid.size
     if p == 1:
         return "xla"
+    h, w = grid.height, grid.width
     weight_a, weight_b, weight_c = m * k, k * n, m * n
     if weight_c >= weight_a and weight_c >= weight_b:
+        # stationary-C gathers an (m/h, k) strip of A per device; past the
+        # VMEM/HBM comfort threshold the ring pipeline wins (one k/w panel
+        # resident instead of k)
+        if (m // max(h, 1)) * k * itemsize > pipeline_bytes:
+            return "pipelined"
         return "stationary_c"
-    if weight_a >= weight_b:
-        return "stationary_a"
-    return "xla"
+    if weight_b >= weight_a:
+        return "stationary_b"
+    return "stationary_a"

@@ -260,10 +260,17 @@ class DistMultiVec:
             grid = Grid.default()
         x = jnp.asarray(x)
         ndim = x.ndim
-        sh = NamedSharding(grid.mesh, P(("mc", "mr"), *([None] * (ndim - 1)))
-                           if x.shape[0] % grid.size == 0 else
-                           P(*( [None] * ndim)))
-        return cls(jax.device_put(x, sh), grid)
+        if x.shape[0] % grid.size == 0:
+            spec = P(("mc", "mr"), *([None] * (ndim - 1)))
+        else:
+            import warnings
+            warnings.warn(
+                f"DistMultiVec height {x.shape[0]} is not divisible by the "
+                f"{grid.size}-device mesh; storing REPLICATED. Pad the "
+                "height to keep the [VC,*] row partition.",
+                RuntimeWarning, stacklevel=2)
+            spec = P(*([None] * ndim))
+        return cls(jax.device_put(x, NamedSharding(grid.mesh, spec)), grid)
 
     @property
     def height(self) -> int:

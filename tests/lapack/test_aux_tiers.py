@@ -213,3 +213,24 @@ def test_native_minimum_degree():
     p = native.minimum_degree(adj)
     assert sorted(p.tolist()) == [0, 1, 2, 3]
     assert p[0] == 3  # degree-1 vertex eliminated first
+
+
+def test_ricatti_overloads():
+    """ricatti(W) and ricatti(uplo, A, K, L) match solve_continuous_are."""
+    import scipy.linalg as sla
+    import jax.numpy as jnp
+    from elemental_tpu import control
+    rng = np.random.default_rng(11)
+    n = 6
+    A = rng.standard_normal((n, n)) - 3 * np.eye(n)
+    B = rng.standard_normal((n, 2))
+    Q = rng.standard_normal((n, n)); Q = Q @ Q.T + np.eye(n)
+    L = B @ B.T
+    ref = sla.solve_continuous_are(A, B, Q, np.eye(2))
+    W = np.block([[A, -L], [-Q, -A.T]])
+    X1 = np.asarray(control.ricatti(jnp.asarray(W)))
+    np.testing.assert_allclose(X1, ref, rtol=1e-6, atol=1e-8)
+    X2 = np.asarray(control.ricatti("L", jnp.asarray(A),
+                                    jnp.asarray(np.tril(Q)),
+                                    jnp.asarray(np.tril(L))))
+    np.testing.assert_allclose(X2, ref, rtol=1e-6, atol=1e-8)

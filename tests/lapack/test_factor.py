@@ -259,3 +259,29 @@ def test_inertia():
     a = q @ a @ q.T
     pos, neg, zero = la.inertia(jnp.asarray((a + a.T) / 2), conjugate=False)
     assert (int(pos), int(neg), int(zero)) == (3, 2, 0)
+
+
+def test_tsqr_tree_matches_gather(grid8):
+    """Butterfly tree TSQR == all-gather TSQR == reference QR."""
+    import jax.numpy as jnp
+    from elemental_tpu.lapack.qr import tsqr
+    a = RNG.standard_normal((256, 12)).astype(np.float64)
+    for tree in (False, True):
+        res = tsqr(jnp.asarray(a), grid=grid8, tree=tree)
+        q, r = np.asarray(res.Q), np.asarray(res.R)
+        np.testing.assert_allclose(q @ r, a, atol=1e-10)
+        np.testing.assert_allclose(q.T @ q, np.eye(12), atol=1e-10)
+        assert np.abs(np.tril(r, -1)).max() < 1e-12
+
+
+def test_tsqr_tree_matches_gather(grid8):
+    """Butterfly tree TSQR == all-gather TSQR == reference QR."""
+    import jax.numpy as jnp
+    from elemental_tpu.lapack.qr import tsqr
+    a = RNG.standard_normal((256, 12))
+    for tree in (False, True):
+        q, r = tsqr(jnp.asarray(a), grid=grid8, tree=tree)
+        q, r = np.asarray(q), np.asarray(r)
+        np.testing.assert_allclose(q @ r, a, atol=1e-10)
+        np.testing.assert_allclose(q.T @ q, np.eye(12), atol=1e-10)
+        assert np.abs(np.tril(r, -1)).max() < 1e-12

@@ -25,7 +25,7 @@ def _rand(m, n, dtype=np.float32):
 
 
 @pytest.mark.parametrize("alg", ["xla", "stationary_c", "stationary_a",
-                                 "pipelined"])
+                                 "stationary_b", "pipelined"])
 def test_summa_variants_match(grid8, alg):
     m, k, n = 48, 32, 64
     a, b = _rand(m, k), _rand(k, n)
@@ -35,7 +35,8 @@ def test_summa_variants_match(grid8, alg):
     np.testing.assert_allclose(C.to_numpy(), a @ b, rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("alg", ["stationary_c", "pipelined"])
+@pytest.mark.parametrize("alg", ["stationary_c", "stationary_b",
+                                 "pipelined"])
 def test_summa_nondivisible_shapes(grid8, alg):
     """Padding path: shapes not divisible by the mesh."""
     m, k, n = 37, 23, 51
@@ -103,3 +104,13 @@ def test_gemm_under_jit(grid8):
 def test_algorithm_heuristic(grid8):
     assert summa.choose_algorithm(1024, 1024, 64, grid8) == "stationary_c"
     assert summa.choose_algorithm(1024, 8, 1024, grid8) == "stationary_a"
+
+
+def test_choose_algorithm_covers_all_variants(grid8):
+    from elemental_tpu.ops.summa import choose_algorithm
+    # C dominant, small: stationary_c; C dominant, huge A-strip: pipelined
+    assert choose_algorithm(512, 512, 64, grid8) == "stationary_c"
+    assert choose_algorithm(1 << 15, 1 << 15, 1 << 14, grid8) == "pipelined"
+    # A dominant / B dominant keep the big operand in place
+    assert choose_algorithm(64, 512, 4096, grid8) == "stationary_b"
+    assert choose_algorithm(512, 64, 4096, grid8) == "stationary_a"
