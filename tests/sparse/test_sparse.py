@@ -257,3 +257,57 @@ def test_dist_spmv_no_full_allgather(grid8):
     bad = [ln for ln in txt.splitlines()
            if "all-gather" in ln and "f64[256" in ln.replace(" ", "")]
     assert not bad, bad[:2]
+
+
+def test_dist_spgemm_matches_single_chip(grid8):
+    """Distributed SpGEMM == single-chip spgemm (VERDICT r2 #5 done
+    criterion) on the 8-device mesh, rectangular + non-divisible shapes."""
+    import scipy.sparse as sp
+    from elemental_tpu.sparse.matmul import dist_spgemm, spgemm
+    Ra = sp.random(83, 61, density=0.1, format="csr", random_state=5)
+    Rb = sp.random(61, 47, density=0.12, format="csr", random_state=6)
+    A = SparseMatrix.from_scipy(Ra)
+    B = SparseMatrix.from_scipy(Rb)
+    dA = DistSparseMatrix.from_sparse(A, grid8)
+    dB = DistSparseMatrix.from_sparse(B, grid8)
+    dC = dist_spgemm(dA, dB)
+    C = spgemm(A, B)
+    np.testing.assert_allclose(dC.host.to_dense(), C.to_dense(),
+                               rtol=1e-10, atol=1e-12)
+    # device values match too
+    x = RNG.standard_normal(47)
+    np.testing.assert_allclose(np.asarray(dC.matvec(x)),
+                               C.to_dense() @ x, rtol=1e-9, atol=1e-10)
+
+
+def test_dist_galerkin_matches_syrk(grid8):
+    from elemental_tpu.sparse.matmul import dist_galerkin, syrk_sparse
+    import scipy.sparse as sp
+    Ra = sp.random(40, 64, density=0.15, format="csr", random_state=7)
+    A = SparseMatrix.from_scipy(Ra)
+    d = np.abs(RNG.standard_normal(64)) + 0.5
+    dA = DistSparseMatrix.from_sparse(A, grid8)
+    dC = dist_galerkin(dA, d)
+    C = syrk_sparse(A, d)
+    np.testing.assert_allclose(dC.host.to_dense(), C.to_dense(),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_dist_spgemm_no_full_gather(grid8):
+    """The distributed SpGEMM numeric must ship only the entry-compressed
+    halo: assert no all-gather materializing B's full value array."""
+    import jax
+    from elemental_tpu.sparse.matmul import dist_spgemm_plan
+    import scipy.sparse as sp
+    Ra = sp.random(96, 96, density=0.06, format="csr", random_state=8)
+    A = SparseMatrix.from_scipy(Ra)
+    dA = DistSparseMatrix.from_sparse(A, grid8)
+    plan = dist_spgemm_plan(dA, dA)
+    p = grid8.size
+    al = dA.lvals.reshape(p, -1)
+    txt = (jax.jit(lambda plan, a, b: plan.numeric(a, b))
+           .lower(plan, al, al).compile().as_text())
+    nnzb = dA.lvals.size
+    bad = [ln for ln in txt.splitlines()
+           if "all-gather" in ln and f"f64[{nnzb}" in ln.replace(" ", "")]
+    assert not bad, bad[:2]
