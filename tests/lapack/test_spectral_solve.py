@@ -348,3 +348,28 @@ def test_condense_bidiag_hessenberg():
     hh, q = np.asarray(h.h), np.asarray(h.q)
     np.testing.assert_allclose(q @ hh @ q.conj().T, a, atol=1e-8)
     assert np.abs(np.tril(hh, -2)).max() < 1e-10
+
+
+def test_hermitian_tridiag_blocked_matches_unblocked():
+    """Blocked (latrd panel + rank-2nb) == rank-2 loop reduction."""
+    import jax.numpy as jnp
+    from elemental_tpu.lapack.condense import (_hermitian_tridiag_blocked,
+                                               hermitian_tridiag)
+    rng = np.random.default_rng(5)
+    for n, cplx in [(60, False), (197, False), (80, True)]:
+        a = rng.standard_normal((n, n))
+        if cplx:
+            a = a + 1j * rng.standard_normal((n, n))
+        a = (a + a.conj().T) / 2
+        d, e, q = _hermitian_tridiag_blocked("L", jnp.asarray(a), nb=16)
+        d, e, q = np.asarray(d), np.asarray(e), np.asarray(q)
+        T = np.diag(d) + np.diag(e, 1) + np.diag(e, -1)
+        assert np.abs(q @ T @ q.conj().T - a).max() < 1e-11 * n
+        assert np.abs(q.conj().T @ q - np.eye(n)).max() < 1e-11
+        # eigenvalues agree with the unblocked path
+        d2, e2, _ = hermitian_tridiag("L", jnp.asarray(a), blocksize=8)
+        T2 = np.diag(np.asarray(d2)) + np.diag(np.asarray(e2), 1) \
+            + np.diag(np.asarray(e2), -1)
+        np.testing.assert_allclose(np.sort(np.linalg.eigvalsh(T)),
+                                   np.sort(np.linalg.eigvalsh(T2)),
+                                   rtol=1e-9, atol=1e-9)
