@@ -1,0 +1,27 @@
+"""Every example driver doubles as an integration test (reference pattern:
+``examples/`` are self-verifying drivers for the application tiers)."""
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+EXDIR = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..",
+                                     "examples"))
+
+DRIVERS = ["bp", "bpdn", "lav", "cp", "ds", "en", "nnls", "svm", "tv",
+           "lp_affine", "qp_direct_ex", "socp_trivial",
+           "long_only_portfolio", "least_squares", "linear_solve", "eig",
+           "fox_li", "different_grids", "sparse_multiply"]
+
+
+@pytest.mark.parametrize("name", DRIVERS)
+def test_example_driver(name, monkeypatch):
+    monkeypatch.setattr(sys, "argv", [f"{name}.py"])
+    monkeypatch.syspath_prepend(EXDIR)
+    spec = importlib.util.spec_from_file_location(
+        f"example_{name}", os.path.join(EXDIR, name + ".py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
