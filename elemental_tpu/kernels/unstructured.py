@@ -1,0 +1,162 @@
+"""Unstructured SpMV building blocks (Pallas, TPU-native).
+
+The hardware facts that shape this design (measured on v5 lite this round):
+
+* XLA's gather/scatter emitters are fast ONLY as standalone dispatches with
+  the index arrays passed as jit ARGUMENTS; embedded in loop bodies or as
+  jaxpr constants they fall to a ~0.06 Gnnz/s scalar path.  A Pallas kernel
+  keeps its code shape wherever it is called — loops included.
+* Mosaic's only vector gather is ``tpu.dynamic_gather`` — per-lane gather
+  WITHIN one (8,128) vreg (``jnp.take_along_axis`` on the lane or sublane
+  axis).  There is no vector gather across a large VMEM buffer and no
+  vector scatter at all.
+
+So the kernel processes entries SORTED BY COLUMN: 1024 consecutive entries
+of a matrix with nnz/row ≳ a few span only ~n/nnz·1024 columns, so each
+(8,128) tile reads from a 256-column window = two 128-lane rows of x
+(viewed as (n/128, 128)).  The gather is then two broadcast-row
+``take_along_axis`` ops + a select — pure VPU work, no scalar path.  The
+host planner splits tiles at window boundaries (padding, typically <5 %).
+
+The row-side combine (products are in column order) is a separate sorted
+``segment_sum`` dispatch on the permuted-row ids — fast at XLA level with
+argument-passed indices; fusing it into the kernel would require a vector
+scatter the hardware does not have.
+
+Reference spec: sparse ``Multiply`` (``tests/blas_like/Multiply.cpp:19-46``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.statics import register_plan_pytree
+
+TILE = 1024          # entries per tile = one (8,128) vreg
+WIN = 256            # window: two aligned 128-lane x-rows
+
+
+@dataclasses.dataclass
+class GatherPlan:
+    """Host-built plan for y = A·x with column-sorted entry processing."""
+
+    n_rows: int
+    n_cols: int
+    nnz: int                 # real entries (before tile padding)
+    ntiles: int
+    cols_local: jnp.ndarray  # (ntiles*TILE,) int32: c − 128·wb ∈ [0, 256)
+    vals: jnp.ndarray        # (ntiles*TILE,) padded entries = 0
+    rows: jnp.ndarray        # (ntiles*TILE,) int32 row ids; pad → n_rows
+    wb: jnp.ndarray          # (ntiles,) int32 window base x-row
+    xrows: int               # padded x rows (n_cols/128 + 1 guard)
+
+    def matvec(self, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+        p = gather_multiply(self, x, interpret=interpret)
+        return jax.ops.segment_sum(p, self.rows, num_segments=self.n_rows)
+
+
+register_plan_pytree(GatherPlan, ("cols_local", "vals", "rows", "wb"))
+
+
+def plan_gather_spmv(A) -> GatherPlan:
+    """Build the column-sorted windowed plan from a host CSR SparseMatrix."""
+    rows = np.repeat(np.arange(A.height), A.row_nnz()).astype(np.int64)
+    cols = np.asarray(A.colind, np.int64)
+    vals = np.asarray(A.vals)
+    order = np.lexsort((rows, cols))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    nnz = cols.size
+
+    # greedy tiling: cut at TILE entries or when the 256-col window overflows
+    xrow = cols // 128
+    tile_starts = [0]
+    i = 0
+    while i < nnz:
+        base = xrow[i]
+        # furthest entry still within [base, base+2) x-rows
+        j = int(np.searchsorted(xrow, base + 2, side="left"))
+        j = min(j, i + TILE, nnz)
+        tile_starts.append(j)
+        i = j
+    starts = np.asarray(tile_starts)
+    ntiles = starts.size - 1
+
+    cl = np.zeros(ntiles * TILE, np.int32)
+    vv = np.zeros(ntiles * TILE, vals.dtype)
+    rr = np.full(ntiles * TILE, A.height, np.int32)   # pad rows dropped
+    wb = np.zeros(ntiles, np.int32)
+    for t in range(ntiles):
+        a, b = starts[t], starts[t + 1]
+        wb[t] = xrow[a]
+        sl = slice(t * TILE, t * TILE + (b - a))
+        cl[sl] = (cols[a:b] - 128 * int(xrow[a])).astype(np.int32)
+        vv[sl] = vals[a:b]
+        rr[sl] = rows[a:b].astype(np.int32)
+
+    xrows = -(-A.width // 128) + 1                     # +1 guard row
+    return GatherPlan(A.height, A.width, nnz, ntiles,
+                      jnp.asarray(cl), jnp.asarray(vv), jnp.asarray(rr),
+                      jnp.asarray(wb), xrows)
+
+
+def _gather_kernel(wb_ref, cols_ref, vals_ref, x_ref, out_ref):
+    t = pl.program_id(0)
+    base = wb_ref[t]
+    cl = cols_ref[:]                       # (8, 128) window-local columns
+    lane = jnp.bitwise_and(cl, 127)
+    sel = jnp.right_shift(cl, 7)           # 0 → row base, 1 → base+1
+    w0 = jnp.broadcast_to(x_ref[pl.ds(base, 1), :], cl.shape)
+    w1 = jnp.broadcast_to(x_ref[pl.ds(base + 1, 1), :], cl.shape)
+    g0 = jnp.take_along_axis(w0, lane, axis=1)
+    g1 = jnp.take_along_axis(w1, lane, axis=1)
+    u = jnp.where(sel == 0, g0, g1)
+    out_ref[:] = vals_ref[:] * u
+
+
+def gather_multiply(plan: GatherPlan, x: jnp.ndarray,
+                    interpret: bool = False) -> jnp.ndarray:
+    """p[t] = vals[t] · x[cols[t]] for the column-sorted entry stream —
+    the gather half of the SpMV as one Pallas kernel (x resident in VMEM
+    as (n/128, 128); per tile two broadcast rows + two lane-gathers)."""
+    nt = plan.ntiles
+    xr = plan.xrows
+    xpad = jnp.pad(x.astype(plan.vals.dtype), (0, xr * 128 - x.shape[0]))
+    x2 = xpad.reshape(xr, 128)
+    cols2 = plan.cols_local.reshape(nt * 8, 128)
+    vals2 = plan.vals.reshape(nt * 8, 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda t, wb: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda t, wb: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((xr, 128), lambda t, wb: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda t, wb: (t, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _gather_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nt * 8, 128), plan.vals.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * plan.nnz,
+            bytes_accessed=plan.vals.size * (plan.vals.dtype.itemsize + 4)
+            + xr * 128 * plan.vals.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(plan.wb, cols2, vals2, x2)
+    return out.reshape(-1)
