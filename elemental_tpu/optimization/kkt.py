@@ -174,7 +174,7 @@ class KKTFactor:
 
     def solve_refined(self, rhs: jnp.ndarray,
                       reg_diag: Optional[jnp.ndarray] = None,
-                      iters: int = 2) -> jnp.ndarray:
+                      iters: int = 2, unroll: Optional[bool] = None) -> jnp.ndarray:
         """Solve K₀·x = rhs where K₀ = K − diag(reg_diag), using the LDL
         factor of the regularized K as a preconditioner for ``iters`` steps
         of FGMRES (the reference's refined ``SolveAfter`` path, upgraded
@@ -200,9 +200,12 @@ class KKTFactor:
         Z = jnp.zeros((k, N), rhs.dtype)
         H = jnp.zeros((k + 1, k), rhs.dtype)
 
-        # Arnoldi under fori_loop: ONE solve + one matvec in the compiled
-        # body regardless of k (an unrolled loop would inline the whole
-        # multifrontal solve graph k times).
+        # Arnoldi: UNROLLED by default (python loop → straight-line HLO).
+        # On TPU, gather/scatter nested inside lax loop bodies falls onto a
+        # catastrophically slow emitter (measured this round); the
+        # multifrontal solve inside the body is gather-heavy, so the k-fold
+        # larger straight-line graph is the fast shape.  ``unroll=False``
+        # restores the compact fori_loop body (CPU-friendly).
         def body(j, carry):
             V, Z, H = carry
             z = self.solve(V[j])
@@ -216,7 +219,16 @@ class KKTFactor:
             Z = Z.at[j].set(z)
             return V, Z, H
 
-        V, Z, H = jax.lax.fori_loop(0, k, body, (V, Z, H))
+        if unroll is None:
+            # TPU: unrolled straight-line gathers; CPU: compact loop body
+            unroll = jax.default_backend() not in ("cpu",)
+        if unroll:
+            carry = (V, Z, H)
+            for j in range(k):
+                carry = body(j, carry)
+            V, Z, H = carry
+        else:
+            V, Z, H = jax.lax.fori_loop(0, k, body, (V, Z, H))
         e1 = jnp.zeros(k + 1, rhs.dtype).at[0].set(beta)
         y, *_ = jnp.linalg.lstsq(H, e1)
         cand = x0 + Z.T @ y

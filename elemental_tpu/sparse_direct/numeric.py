@@ -213,9 +213,13 @@ class LDLFactorization:
         return xe.at[rows.reshape(-1)].add(
             delta.reshape(-1, delta.shape[-1]))
 
-    def solve_with_iterative_refinement(self, A_apply, b, iters: int = 6):
+    def solve_with_iterative_refinement(self, A_apply, b, iters: int = 6,
+                                        unroll: Optional[bool] = None):
         """x ← x + F⁻¹(b − A·x) (reference
-        ``SolveWithIterativeRefinement``, ``DistSparseLDLFactorization.cpp:264``)."""
+        ``SolveWithIterativeRefinement``, ``DistSparseLDLFactorization.cpp:264``).
+
+        Unrolled by default: the gather-heavy tree solve inside a lax loop
+        body hits the TPU scalar gather emitter (see kkt.solve_refined)."""
         b = jnp.asarray(b)
         x = self.solve(b)
 
@@ -223,6 +227,12 @@ class LDLFactorization:
             r = b - A_apply(x)
             return x + self.solve(r)
 
+        if unroll is None:
+            unroll = jax.default_backend() not in ("cpu",)
+        if unroll:
+            for i in range(iters):
+                x = body(i, x)
+            return x
         return jax.lax.fori_loop(0, iters, body, x)
 
     # -- products ------------------------------------------------------------
