@@ -92,20 +92,22 @@ def stage_stencil():
     rel = np.abs(np.asarray(y) - expect).max() / np.abs(expect).max()
     assert rel < 1e-4, f"SpMV wrong: rel={rel}"
 
-    # chain sweep: the plan rides as a jit ARGUMENT (constants are the
-    # scalar-path cliff), readback forces completion
+    # chain sweep with the plan CLOSED OVER: Pallas kernel operands run
+    # FASTER as jaxpr constants (measured 160 vs 114 Gnnz/s as-argument on
+    # v5e — the constants cliff is specific to XLA gather/scatter
+    # emitters, not Pallas calls); readback forces completion
     fn = {}
 
     def sweep(reps):
         if reps not in fn:
-            fn[reps] = jax.jit(lambda plan, x: jnp.sum(jax.lax.fori_loop(
+            fn[reps] = jax.jit(lambda x: jnp.sum(jax.lax.fori_loop(
                 0, reps, lambda i, acc: K.stencil_spmv(plan, acc), x)))
         f = fn[reps]
-        float(f(plan, x))
+        float(f(x))
         best = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
-            float(f(plan, x))
+            float(f(x))
             best = min(best, time.perf_counter() - t0)
         return best
 

@@ -108,55 +108,68 @@ def plan_gather_spmv(A) -> GatherPlan:
                       jnp.asarray(wb), xrows)
 
 
+SUPER = 64           # sub-tiles per grid step (amortizes DMA latency)
+
+
 def _gather_kernel(wb_ref, cols_ref, vals_ref, x_ref, out_ref):
-    t = pl.program_id(0)
-    base = wb_ref[t]
-    cl = cols_ref[:]                       # (8, 128) window-local columns
-    lane = jnp.bitwise_and(cl, 127)
-    sel = jnp.right_shift(cl, 7)           # 0 → row base, 1 → base+1
-    w0 = jnp.broadcast_to(x_ref[pl.ds(base, 1), :], cl.shape)
-    w1 = jnp.broadcast_to(x_ref[pl.ds(base + 1, 1), :], cl.shape)
-    g0 = jnp.take_along_axis(w0, lane, axis=1)
-    g1 = jnp.take_along_axis(w1, lane, axis=1)
-    u = jnp.where(sel == 0, g0, g1)
-    out_ref[:] = vals_ref[:] * u
+    s = pl.program_id(0)
+    cl_all = cols_ref[:]                   # (8·SUPER, 128)
+    v_all = vals_ref[:]
+    lane = jnp.bitwise_and(cl_all, 127)
+    sel = jnp.right_shift(cl_all, 7)       # 0 → row base, 1 → base+1
+    for k in range(SUPER):
+        base = wb_ref[s * SUPER + k]
+        lo, hi = 8 * k, 8 * k + 8
+        w0 = jnp.broadcast_to(x_ref[pl.ds(base, 1), :], (8, 128))
+        w1 = jnp.broadcast_to(x_ref[pl.ds(base + 1, 1), :], (8, 128))
+        g0 = jnp.take_along_axis(w0, lane[lo:hi], axis=1)
+        g1 = jnp.take_along_axis(w1, lane[lo:hi], axis=1)
+        u = jnp.where(sel[lo:hi] == 0, g0, g1)
+        out_ref[lo:hi, :] = v_all[lo:hi] * u
 
 
 def gather_multiply(plan: GatherPlan, x: jnp.ndarray,
                     interpret: bool = False) -> jnp.ndarray:
     """p[t] = vals[t] · x[cols[t]] for the column-sorted entry stream —
     the gather half of the SpMV as one Pallas kernel (x resident in VMEM
-    as (n/128, 128); per tile two broadcast rows + two lane-gathers)."""
+    as (n/128, 128); per (8,128) sub-tile two broadcast rows + two
+    lane-gathers; SUPER sub-tiles per grid step so the streaming DMAs are
+    256 KB, not 4 KB)."""
     nt = plan.ntiles
+    ns = -(-nt // SUPER)                   # super-tiles (plan pads wb)
     xr = plan.xrows
     xpad = jnp.pad(x.astype(plan.vals.dtype), (0, xr * 128 - x.shape[0]))
     x2 = xpad.reshape(xr, 128)
-    cols2 = plan.cols_local.reshape(nt * 8, 128)
-    vals2 = plan.vals.reshape(nt * 8, 128)
+    rows8 = ns * SUPER * 8
+    cols2 = jnp.pad(plan.cols_local.reshape(-1, 128),
+                    ((0, rows8 - nt * 8), (0, 0)))
+    vals2 = jnp.pad(plan.vals.reshape(-1, 128),
+                    ((0, rows8 - nt * 8), (0, 0)))
+    wbp = jnp.pad(plan.wb, (0, ns * SUPER - nt))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nt,),
+        grid=(ns,),
         in_specs=[
-            pl.BlockSpec((8, 128), lambda t, wb: (t, 0),
+            pl.BlockSpec((8 * SUPER, 128), lambda s, wb: (s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda t, wb: (t, 0),
+            pl.BlockSpec((8 * SUPER, 128), lambda s, wb: (s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((xr, 128), lambda t, wb: (0, 0),
+            pl.BlockSpec((xr, 128), lambda s, wb: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, 128), lambda t, wb: (t, 0),
+        out_specs=pl.BlockSpec((8 * SUPER, 128), lambda s, wb: (s, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         _gather_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nt * 8, 128), plan.vals.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows8, 128), plan.vals.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * plan.nnz,
             bytes_accessed=plan.vals.size * (plan.vals.dtype.itemsize + 4)
             + xr * 128 * plan.vals.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(plan.wb, cols2, vals2, x2)
-    return out.reshape(-1)
+    )(wbp, cols2, vals2, x2)
+    return out.reshape(-1)[:nt * TILE]

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from ..sparse.csr import SparseMatrix
 from ..sparse_direct.symbolic import SymbolicFactorization, analyze
-from ..sparse_direct.numeric import LDLFactorization, factor as _mf_factor
+from ..sparse_direct.numeric import (LDLFactorization, _placement_platform,
+                                     factor as _mf_factor)
 
 
 class KKTBuilder:
@@ -221,7 +222,7 @@ class KKTFactor:
 
         if unroll is None:
             # TPU: unrolled straight-line gathers; CPU: compact loop body
-            unroll = jax.default_backend() not in ("cpu",)
+            unroll = _placement_platform() != "cpu"
         if unroll:
             carry = (V, Z, H)
             for j in range(k):

@@ -32,6 +32,19 @@ from ..sparse.io import MPSData
 from .kkt import KKTBuilder, KKTSystem
 
 
+def _resolve_unroll(ctrl) -> bool:
+    """Resolve the refinement-loop unroll flag OUTSIDE tracing: unrolled
+    straight-line gathers on accelerators (the TPU lax-loop gather path is
+    a scalar cliff), compact fori_loop on CPU."""
+    if ctrl.refine_unroll is not None:
+        return ctrl.refine_unroll
+    import jax
+    try:
+        return next(iter(jnp.zeros(()).devices())).platform != "cpu"
+    except Exception:
+        return jax.default_backend() != "cpu"
+
+
 class Approach:
     MEHROTRA = "mehrotra"
     IPF = "ipf"
@@ -48,6 +61,7 @@ class LPCtrl:
     backend: str = "auto"       # kept for API parity; the path is sparse
     reg: float = 1e-9
     refine_iters: int = 8       # FGMRES steps against the exact KKT
+    refine_unroll: 'Optional[bool]' = None  # None: unroll unless on CPU
     verbose: bool = False
     ordering: Optional[np.ndarray] = None  # precomputed KKT fill ordering
 
@@ -145,9 +159,11 @@ def lp_direct(A: SparseMatrix, b: np.ndarray, c: np.ndarray,
     def kfactor(kkt, theta):
         return kkt.prepare(kkt.assemble([theta]))
 
+    unroll = _resolve_unroll(ctrl)
+
     def ksolve(fact, reg_diag, f, g):
         sol = fact.solve_refined(jnp.concatenate([f, g]), reg_diag,
-                                 iters=nref)
+                                 iters=nref, unroll=unroll)
         return sol[:n], sol[n:]
 
     @jax.jit
@@ -286,6 +302,7 @@ def lp_affine(A: SparseMatrix, b: np.ndarray, G: SparseMatrix,
     bj, hj, cj = jnp.asarray(b), jnp.asarray(h), jnp.asarray(c)
     tau, tol = ctrl.tau, ctrl.tol
     nref = ctrl.refine_iters
+    unroll = _resolve_unroll(ctrl)
     mehrotra = ctrl.approach == Approach.MEHROTRA
     sigma_ipf = ctrl.sigma_ipf
 
@@ -304,7 +321,8 @@ def lp_affine(A: SparseMatrix, b: np.ndarray, G: SparseMatrix,
         def directions(rmu):
             # rows: Aᵀdy + Gᵀdz = rc ; A dx = rb ; G dx − W dz = rh − rmu/z
             rhs = jnp.concatenate([rc, rb, rh - rmu / z])
-            sol = fact.solve_refined(rhs, reg_diag, iters=nref)
+            sol = fact.solve_refined(rhs, reg_diag, iters=nref,
+                                     unroll=unroll)
             dx, dy, dz = sol[:n], sol[n:n + m], sol[n + m:]
             ds = (rmu - s * dz) / z
             return dx, dy, dz, ds

@@ -54,6 +54,8 @@ def qp_direct(Q, A, b: np.ndarray, c: np.ndarray,
     bj, cj = jnp.asarray(b), jnp.asarray(c)
     tau, tol = ctrl.tau, ctrl.tol
     nref = ctrl.refine_iters
+    from .lp import _resolve_unroll
+    unroll = _resolve_unroll(ctrl)
 
     @jax.jit
     def step(x, y, z, kkt, reg_diag, Qd, Ad, Atd, bj, cj):
@@ -67,7 +69,8 @@ def qp_direct(Q, A, b: np.ndarray, c: np.ndarray,
             # (Q+Θ)dx − Aᵀdy = −rc + rmu/x ; A dx = rb
             # symmetric K[p;q] = [f;g] with dy = −q
             rhs = jnp.concatenate([-rc + rmu / x, rb])
-            sol = fact.solve_refined(rhs, reg_diag, iters=nref)
+            sol = fact.solve_refined(rhs, reg_diag, iters=nref,
+                                     unroll=unroll)
             dx, dy = sol[:n], -sol[n:]
             dz = (rmu - z * dx) / x
             return dx, dy, dz

@@ -325,6 +325,8 @@ def socp_affine(A, b: np.ndarray, G, h: np.ndarray, c: np.ndarray,
     bj, hj, cj = jnp.asarray(b), jnp.asarray(h), jnp.asarray(c)
     tau, tol = ctrl.tau, ctrl.tol
     nref = ctrl.refine_iters
+    from .lp import _resolve_unroll
+    unroll = _resolve_unroll(ctrl)
     sigma = 0.25
 
     @jax.jit
@@ -344,7 +346,8 @@ def socp_affine(A, b: np.ndarray, G, h: np.ndarray, c: np.ndarray,
         rmu = s + sm * ops.grad(z)
         fact = kkt.prepare(kkt.assemble([-sm * ops.hess_vals(z)]))
         rhs = jnp.concatenate([rc, rb, rh + rmu])
-        sol = fact.solve_refined(rhs, reg_diag, iters=nref)
+        sol = fact.solve_refined(rhs, reg_diag, iters=nref,
+                                 unroll=unroll)
         dx, dy, dz = sol[:n], sol[n:n + m], sol[n + m:]
         ds = -sm * ops.hess_apply(z, dz) - rmu
         ap = ops.max_step(s, ds, tau)

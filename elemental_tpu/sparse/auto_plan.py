@@ -2,26 +2,29 @@
 matrix (the dispatch tier of the reference's sparse ``Multiply``,
 ``tests/blas_like/Multiply.cpp:19-46``, re-designed around TPU constraints).
 
-TPU gather speeds are wildly layout-dependent: a FLAT 1-D gather
-``x[colind]`` + sorted-rows ``segment_sum`` compiles to HBM-bandwidth code
-(measured 132 Gnnz/s on a power-law graph, n=2^20, on v5e ≈ speed of light
-for 8 B/nnz), while the 2-D-indexed ELL gather ``x[cols_2d]`` drops to a
-~0.1 Gnnz/s scalar loop.  The banded/stencil Pallas kernel remains the top
-tier (fewer index bytes: ~4 B/nnz, measured 168 Gnnz/s), with RCM
-reordering to reach it for scrambled banded matrices (138.7 Gnnz/s); the
-flat-CSR form is the fallback that now covers EVERYTHING ELSE at ~SoL.
+Measured reality on v5e (this round, readback-fenced timings — every number
+here is reproduced by ``bench.py``):
 
-Dispatch order (``plan_spmv``):
+* ``stencil`` (halo-panel Pallas kernel): ~160 Gnnz/s on the 1024² 2-D
+  Laplacian — the speed-of-light tier (~4 B/nnz streamed).
+* ``stencil_rcm``: the same kernel after RCM reordering for scrambled
+  banded matrices.
+* ``gather_csr`` (Pallas windowed gather + XLA ``segment_sum`` combine):
+  the gather·multiply half runs at ~42 Gnnz/s, but the row-combine must go
+  through XLA's scatter, which is SCALAR on TPU (~0.15 Gelem/s), so the
+  END-TO-END rate is combine-bound at ~0.15 Gnnz/s — about 2.4× the pure
+  XLA path, and honestly SLOW.  ``plan.slow`` is True so callers can warn
+  or reroute (e.g. prefer the transpose formulation, a stencil-friendly
+  reordering, or restructure around SpMM).
+* ``csr`` (pure XLA gather+segment_sum): ~0.06 Gnnz/s — correctness
+  fallback only; also ``slow``.
 
-1. ``stencil``      — matrix is already DIA-profitable: halo-panel kernel.
-2. ``stencil_rcm``  — square matrix whose RCM reordering is DIA-profitable.
-3. ``csr``          — flat gather + segment-sum: unstructured SoL path.
+There is no fast general unstructured path on this hardware generation:
+Mosaic exposes no vector scatter and only intra-vreg gathers, so the
+column-sorted→row-sorted bridge permutation has no cheap implementation.
 
-Profitability: the stencil kernel streams one weight plane of ``n`` values
-per distinct offset, so its bytes/SpMV ≈ (S+2)·n·itemsize; the CSR path
-streams (4 + itemsize) B/nnz.  The stencil tier is taken only when its
-stream volume undercuts the CSR fallback (``max_stream_ratio`` bounds the
-padding waste).
+Dispatch order (``plan_spmv``): stencil → stencil_rcm → gather_csr
+(→ csr when the Pallas tier is disabled).
 """
 
 from __future__ import annotations
@@ -44,22 +47,36 @@ class SpMVPlan:
     ``to_plan_space``/``from_plan_space`` at the boundary (host-side
     gathers — one-off per solve, never in the hot loop)."""
 
-    kind: str                      # 'stencil' | 'stencil_rcm' | 'csr'
+    kind: str                 # 'stencil' | 'stencil_rcm' | 'gather_csr' | 'csr'
     height: int
     width: int
     nnz: int
     stencil: Optional[object] = None       # kernels.spmv.StencilPlan
     csr: Optional[CSRDevice] = None
+    gather: Optional[object] = None        # kernels.unstructured.GatherPlan
     perm: Optional[np.ndarray] = None      # plan index -> original index
     iperm: Optional[np.ndarray] = None
 
+    @property
+    def slow(self) -> bool:
+        """True when the dispatched tier is scalar-combine-bound on TPU
+        (callers should warn or restructure; see module docstring)."""
+        return self.kind in ("gather_csr", "csr")
+
     def device(self, device=None, dtype=None) -> "SpMVPlan":
+        import jax
         if self.stencil is not None:
             return dataclasses.replace(
                 self, stencil=self.stencil.device(device, dtype))
+        if self.gather is not None:
+            g = self.gather
+            if dtype is not None:
+                g = dataclasses.replace(g, vals=g.vals.astype(dtype))
+            if device is not None:
+                g = jax.device_put(g, device)
+            return dataclasses.replace(self, gather=g)
         csr = self.csr
         if device is not None or dtype is not None:
-            import jax
             vals = csr.vals if dtype is None else csr.vals.astype(dtype)
             csr = CSRDevice(csr.height, csr.width,
                             jax.device_put(csr.rows, device),
@@ -79,23 +96,19 @@ class SpMVPlan:
         if self.stencil is not None:
             from ..kernels.spmv import stencil_spmv
             return stencil_spmv(self.stencil, x)
+        if self.gather is not None:
+            return self.gather.matvec(x)
         return self.csr.matvec(x)
 
     def jitted_matvec(self):
-        """Compiled y = A·x with the plan data passed as jit ARGUMENTS.
-        Closing over the index arrays would embed them as jaxpr constants,
-        which drops XLA's TPU gather to a ~0.06 Gnnz/s scalar path (vs ~136
-        as arguments; measured on v5e) — always prefer this to
-        ``jax.jit(plan.matvec)``."""
+        """Compiled y = A·x.  The plan is CLOSED OVER: Pallas kernel
+        operands run faster as jaxpr constants (measured 160 vs 114 Gnnz/s
+        for the stencil tier on v5e); for the XLA-combine tiers the choice
+        is immaterial (both scalar-bound)."""
         import jax
-        if self.stencil is not None:
-            from ..kernels.spmv import stencil_spmv
-            f = jax.jit(stencil_spmv)
-            st = self.stencil
-            return lambda x: f(st, x)
-        f = jax.jit(lambda csr, x: csr.matvec(x))
-        csr = self.csr
-        return lambda x: f(csr, x)
+        plan = self
+        f = jax.jit(lambda x: plan.matvec(x))
+        return f
 
     @property
     def stream_bytes(self) -> int:
@@ -104,6 +117,10 @@ class SpMVPlan:
             s = len(self.stencil.shifts)
             item = np.asarray(self.stencil.weights).dtype.itemsize
             return (s + 2) * self.stencil.rows * self.stencil.cols * item
+        if self.gather is not None:
+            item = np.asarray(self.gather.vals).dtype.itemsize
+            return self.gather.vals.size * (8 + item) \
+                + 2 * self.height * item
         item = np.asarray(self.csr.vals).dtype.itemsize
         return self.nnz * (8 + item) + 2 * self.height * item
 
@@ -111,7 +128,7 @@ class SpMVPlan:
 # pytree: plans pass through jit as ARGUMENTS (see core/statics.py)
 from ..core.statics import register_plan_pytree  # noqa: E402
 
-register_plan_pytree(SpMVPlan, ("stencil", "csr"))
+register_plan_pytree(SpMVPlan, ("stencil", "csr", "gather"))
 
 
 def _permuted(A: SparseMatrix, p: np.ndarray) -> SparseMatrix:
@@ -121,7 +138,7 @@ def _permuted(A: SparseMatrix, p: np.ndarray) -> SparseMatrix:
 
 def plan_spmv(A: SparseMatrix, cols: int = 1024, try_rcm: bool = True,
               max_stream_ratio: float = 16.0,
-              max_halo: int = 256) -> SpMVPlan:
+              max_halo: int = 256, pallas_gather: bool = True) -> SpMVPlan:
     """Plan y = A·x for TPU execution (see module docstring)."""
     from ..kernels.spmv import plan_stencil_spmv
 
@@ -150,4 +167,8 @@ def plan_spmv(A: SparseMatrix, cols: int = 1024, try_rcm: bool = True,
             return SpMVPlan("stencil_rcm", A.height, A.width, A.nnz,
                             stencil=st, perm=p, iperm=ip)
 
+    if pallas_gather:
+        from ..kernels.unstructured import plan_gather_spmv
+        return SpMVPlan("gather_csr", A.height, A.width, A.nnz,
+                        gather=plan_gather_spmv(A))
     return SpMVPlan("csr", A.height, A.width, A.nnz, csr=A.device_csr())

@@ -239,11 +239,15 @@ class ELLMatrix:
 class CSRDevice:
     """Device CSR (row-id segment-sum form).
 
-    This is the speed-of-light unstructured path on TPU: XLA lowers a
-    FLAT 1-D gather ``x[colind]`` plus a sorted-rows ``segment_sum`` to
-    HBM-bandwidth code (measured 132 Gnnz/s on a power-law graph on v5e ≈
-    SoL for 8 B/nnz), whereas the 2-D-indexed ELL gather ``x[cols_2d]``
-    falls to a ~0.1 Gnnz/s scalar loop — keep indices flat."""
+    PERF WARNING (measured on v5e this round, readback-fenced): XLA's TPU
+    gather AND scatter emitters are scalar — ``x[colind]`` runs at ~0.03-
+    0.1 Gelem/s and ``segment_sum`` at ~0.1-0.15 Gelem/s regardless of
+    index sortedness, flat vs 2-D form, or argument vs constant operands.
+    This container is the *correctness* fallback; the fast unstructured
+    path is the Pallas windowed gather
+    (:mod:`elemental_tpu.kernels.unstructured`, 42 Gnnz/s gather half),
+    reached via ``plan_spmv`` — whose plans say honestly which tier they
+    dispatched to."""
     height: int
     width: int
     rows: jnp.ndarray    # (nnz,) int32, sorted (CSR order)
@@ -263,11 +267,11 @@ class CSRDevice:
                                    indices_are_sorted=True)
 
 
-# Device containers are pytrees so they can be passed as jit ARGUMENTS.
-# This is load-bearing for performance: index arrays captured as jaxpr
-# CONSTANTS push XLA's TPU gather onto a ~0.06 Gnnz/s scalar path, while the
-# identical gather with the arrays as arguments runs at ~136 Gnnz/s (v5e,
-# measured).  Never close over .cols/.colind/.vals inside a jitted function.
+# Device containers are pytrees so they can be passed as jit ARGUMENTS
+# (convenient composition, and donation/sharding of the leaves).  Note the
+# perf warning on CSRDevice: XLA's TPU gather/scatter is slow either way;
+# argument-passing does not rescue it (r02's claim that it did was wrong —
+# the fast readings were async-dispatch artifacts).
 jax.tree_util.register_dataclass(
     ELLMatrix, data_fields=("cols", "vals"),
     meta_fields=("height", "width", "dropped"))

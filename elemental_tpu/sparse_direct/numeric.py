@@ -33,6 +33,16 @@ import jax.numpy as jnp
 from .symbolic import SymbolicFactorization
 
 
+def _placement_platform() -> str:
+    """Platform new arrays land on RIGHT NOW (honors jax.default_device
+    contexts — unlike jax.default_backend(), which reports the highest-
+    priority backend even when tests pin arrays to CPU)."""
+    try:
+        return next(iter(jnp.zeros(()).devices())).platform
+    except Exception:
+        return jax.default_backend()
+
+
 def _masked_partial_ldl(F: jnp.ndarray, ns: jnp.ndarray, max_ns: int,
                         conjugate: bool, reg: Optional[jnp.ndarray] = None,
                         reg_rows: Optional[jnp.ndarray] = None):
@@ -228,7 +238,7 @@ class LDLFactorization:
             return x + self.solve(r)
 
         if unroll is None:
-            unroll = jax.default_backend() not in ("cpu",)
+            unroll = _placement_platform() != "cpu"
         if unroll:
             for i in range(iters):
                 x = body(i, x)

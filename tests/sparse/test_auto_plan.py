@@ -55,8 +55,12 @@ def test_unstructured_falls_back_to_csr():
     S = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
     A = SparseMatrix.from_scipy(S)
     plan = plan_spmv(A, cols=128)
-    assert plan.kind == "csr"
+    assert plan.kind == "gather_csr" and plan.slow
     _check(plan, A, rng)
+    # the honest XLA-only fallback still dispatches and is marked slow
+    plan2 = plan_spmv(A, cols=128, pallas_gather=False)
+    assert plan2.kind == "csr" and plan2.slow
+    _check(plan2, A, rng)
 
 
 def test_rectangular_uses_ell_or_stencil():
