@@ -285,3 +285,30 @@ def test_tsqr_tree_matches_gather(grid8):
         np.testing.assert_allclose(q @ r, a, atol=1e-10)
         np.testing.assert_allclose(q.T @ q, np.eye(12), atol=1e-10)
         assert np.abs(np.tril(r, -1)).max() < 1e-12
+
+
+def test_bunch_kaufman_pivoted_ldl():
+    """Bunch-Kaufman handles indefinite matrices with tiny diagonals where
+    the unpivoted LDL breaks down; growth stays bounded."""
+    import jax.numpy as jnp
+    from elemental_tpu.lapack.ldl import ldl_pivoted, solve_after_pivoted
+    rng = np.random.default_rng(9)
+    for n, cplx in [(2, False), (31, False), (64, False), (24, True)]:
+        a = rng.standard_normal((n, n))
+        if cplx:
+            a = a + 1j * rng.standard_normal((n, n))
+        a = (a + a.conj().T) / 2
+        np.fill_diagonal(a, 1e-12 * np.real(np.diag(a)))
+        f = ldl_pivoted(jnp.asarray(a), conjugate=cplx)
+        L, d, e, p = (np.asarray(v) for v in f)
+        D = np.diag(d)
+        if n > 1:
+            D = D + np.diag(e, -1) + np.diag(np.conj(e) if cplx else e, 1)
+        recon = L @ D @ L.conj().T if cplx else L @ D @ L.T
+        err = np.abs(recon - a[np.ix_(p, p)]).max()
+        assert err < 1e-12 * max(1, np.abs(a).max()) * n, err
+        assert np.abs(L).max() < 10.0   # bounded growth
+        b = rng.standard_normal(n)
+        x = np.asarray(solve_after_pivoted(f, jnp.asarray(b),
+                                           conjugate=cplx))
+        assert np.linalg.norm(a @ x - b) < 1e-8 * np.linalg.norm(b)
