@@ -298,3 +298,151 @@ def refined_solve_dd(A, solve_fn, b, iters: int = 3):
         d = solve_fn(r.hi + r.lo)
         xdd = dd_add(xdd, _as_dd(d, A.dtype))
     return xdd
+
+
+# ------------------------------------------------------------------
+# QD: quad-double (4-word) expansions — reference QuadDouble parity
+# (Hida–Li–Bailey "sloppy" algorithms, branch-free renormalization)
+# ------------------------------------------------------------------
+
+def _three_sum(a, b, c):
+    t1, t2 = two_sum(a, b)
+    a, t3 = two_sum(c, t1)
+    b, c = two_sum(t2, t3)
+    return a, b, c
+
+
+def _three_sum2(a, b, c):
+    t1, t2 = two_sum(a, b)
+    a, t3 = two_sum(c, t1)
+    return a, t2 + t3
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QD:
+    """Quad-double value: x ≈ c0 + c1 + c2 + c3 (non-overlapping words).
+    ~212-bit significand on f64 base (reference ``QuadDouble``), ~96-bit on
+    f32 base.  A pytree — flows through jit/vmap unchanged."""
+
+    c0: jnp.ndarray
+    c1: jnp.ndarray
+    c2: jnp.ndarray
+    c3: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.c0, self.c1, self.c2, self.c3), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def from_array(cls, x, dtype=jnp.float64) -> "QD":
+        hi = jnp.asarray(x, dtype)
+        z = jnp.zeros_like(hi)
+        return cls(hi, z, z, z)
+
+    @classmethod
+    def from_dd(cls, d: DD) -> "QD":
+        z = jnp.zeros_like(d.hi)
+        return cls(d.hi, d.lo, z, z)
+
+    def to_float64(self) -> np.ndarray:
+        return (np.asarray(self.c0, np.float64)
+                + np.asarray(self.c1, np.float64)
+                + np.asarray(self.c2, np.float64)
+                + np.asarray(self.c3, np.float64))
+
+    @property
+    def words(self):
+        return (self.c0, self.c1, self.c2, self.c3)
+
+    def __add__(self, other):
+        return qd_add(self, _as_qd(other, self.c0.dtype))
+
+    def __sub__(self, other):
+        o = _as_qd(other, self.c0.dtype)
+        return qd_add(self, QD(-o.c0, -o.c1, -o.c2, -o.c3))
+
+    def __mul__(self, other):
+        return qd_mul(self, _as_qd(other, self.c0.dtype))
+
+    def __neg__(self):
+        return QD(-self.c0, -self.c1, -self.c2, -self.c3)
+
+
+def _as_qd(x, dtype) -> QD:
+    if isinstance(x, QD):
+        return x
+    if isinstance(x, DD):
+        return QD.from_dd(x)
+    return QD.from_array(x, dtype)
+
+
+def qd_renormalize(c0, c1, c2, c3, c4) -> QD:
+    """Renormalize a 5-term expansion (standard HLB ladder)."""
+    s, t3 = quick_two_sum(c3, c4)
+    s, t2 = quick_two_sum(c2, s)
+    s, t1 = quick_two_sum(c1, s)
+    r0, s = quick_two_sum(c0, s)
+    # push the residuals down a second time (branch-free variant of the
+    # QD library's conditional ladder; loses <1 ulp of the last word)
+    r1, s2 = quick_two_sum(s, t1)
+    r2, s3 = quick_two_sum(s2, t2)
+    r3 = s3 + t3
+    return QD(r0, r1, r2, r3)
+
+
+def qd_add(a: QD, b: QD) -> QD:
+    """a + b (HLB sloppy addition: componentwise two_sums + carry chain)."""
+    s0, t0 = two_sum(a.c0, b.c0)
+    s1, t1 = two_sum(a.c1, b.c1)
+    s2, t2 = two_sum(a.c2, b.c2)
+    s3, t3 = two_sum(a.c3, b.c3)
+    s1, t0 = two_sum(s1, t0)
+    s2, t0, t1 = _three_sum(s2, t0, t1)
+    s3, t0 = _three_sum2(s3, t0, t2)
+    t0 = t0 + t1 + t3
+    return qd_renormalize(s0, s1, s2, s3, t0)
+
+
+def qd_mul(a: QD, b: QD) -> QD:
+    """a · b (HLB sloppy multiplication: O(eps^4) cross terms dropped)."""
+    p0, q0 = two_prod(a.c0, b.c0)
+    p1, q1 = two_prod(a.c0, b.c1)
+    p2, q2 = two_prod(a.c1, b.c0)
+    p3, q3 = two_prod(a.c0, b.c2)
+    p4, q4 = two_prod(a.c1, b.c1)
+    p5, q5 = two_prod(a.c2, b.c0)
+
+    # order-1 terms
+    p1, p2, q0 = _three_sum(p1, p2, q0)
+    # order-2 terms
+    p2, q1, q2 = _three_sum(p2, q1, q2)
+    p3, p4, p5 = _three_sum(p3, p4, p5)
+    s0, t0 = two_sum(p2, p3)
+    s1, t1 = two_sum(q1, p4)
+    s2 = q2 + p5
+    s1, t0 = two_sum(s1, t0)
+    s2 = s2 + t0 + t1
+    # order-3 terms
+    s3 = (q3 + q4 + q5
+          + a.c1 * b.c2 + a.c2 * b.c1 + a.c0 * b.c3 + a.c3 * b.c0)
+    return qd_renormalize(p0, p1, s0, s1, s2 + s3)
+
+
+def qd_dot(x, y) -> QD:
+    """Compensated dot product at quad-double precision: exact products
+    accumulated with QD addition (reference QuadDouble dot)."""
+    xj = jnp.asarray(x)
+    yj = jnp.asarray(y)
+    p, e = two_prod(xj, yj)
+    acc = QD.from_array(jnp.zeros((), xj.dtype), xj.dtype)
+
+    def body(i, acc):
+        t = QD(p[i], e[i], jnp.zeros((), xj.dtype),
+               jnp.zeros((), xj.dtype))
+        return qd_add(acc, t)
+
+    return jax.lax.fori_loop(0, xj.shape[0], body, acc)

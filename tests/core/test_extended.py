@@ -132,3 +132,30 @@ def test_dd_base_f64_reaches_quad_class(rng):
         exact = Fraction(float(a[i])) * Fraction(float(b[i]))
         got = Fraction(float(P.hi[i])) + Fraction(float(P.lo[i]))
         assert got == exact
+
+
+def test_qd_quad_double_precision():
+    """QD add/mul reach ~212-bit precision on f64 base (reference
+    QuadDouble parity), verified against exact Fraction arithmetic."""
+    from fractions import Fraction
+    import jax.numpy as jnp
+    from elemental_tpu.extended import QD, qd_add, qd_mul, qd_dot
+
+    def to_frac(q):
+        return sum(Fraction(float(np.asarray(c))) for c in q.words)
+
+    rng = np.random.default_rng(1)
+    for _ in range(10):
+        a = qd_add(QD.from_array(rng.standard_normal()),
+                   QD.from_array(rng.standard_normal() * 2.0**-60))
+        b = qd_add(QD.from_array(rng.standard_normal()),
+                   QD.from_array(rng.standard_normal() * 2.0**-60))
+        s = qd_add(a, b)
+        m = qd_mul(a, b)
+        assert abs(to_frac(s) - (to_frac(a) + to_frac(b))) \
+            <= Fraction(1, 2**180) * abs(to_frac(s))
+        assert abs(to_frac(m) - to_frac(a) * to_frac(b)) \
+            <= Fraction(1, 2**180) * abs(to_frac(m))
+    # compensated dot survives catastrophic f64 cancellation
+    d = qd_dot(jnp.asarray([1.0, 1e-30, -1.0, 1e-30]), jnp.ones(4))
+    assert abs(float(to_frac(d)) - 2e-30) < 1e-45
