@@ -6,6 +6,7 @@ from .dist import (CIRC, MC, MD, MR, STAR, VC, VR, DIST_PAIRS, Dist,
                    partition_spec, transpose_pair, vector_spec)
 from .grid import Grid
 from .distmatrix import DistMatrix, as_array, distribute, grid_of, like
+from .blockcyclic import BlockCyclicMatrix, block_cyclic_perm
 from .redistribute import (all_gather, axpy_contract, col_filter, contract,
                            row_filter, translate, translate_between_grids,
                            transpose_dist)
