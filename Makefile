@@ -5,7 +5,10 @@
 
 PY ?= python
 
-.PHONY: check check-bench test entry dryrun bench
+.PHONY: check check-bench test entry dryrun bench lint
+
+lint:
+	$(PY) tools/lint.py
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -20,6 +23,6 @@ dryrun:
 bench:
 	$(PY) bench.py
 
-check: test dryrun
+check: lint test dryrun
 
 check-bench: check bench

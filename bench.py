@@ -1,33 +1,41 @@
-"""Benchmark driver (BASELINE targets; VERDICT r2 #3 hardening).
+"""Benchmark driver (BASELINE targets; VERDICT r3 #1 integrity hardening).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
 Architecture: the parent process (no jax import) runs each stage in a
 SUBPROCESS with a hard timeout, so a wedged device or pathological compile
-can never hang the driver; a stage that dies or reports a physically
-impossible number (above the chip's speed of light) is retried once and
-otherwise dropped.  The headline metric stays the stencil SpMV
-(``spmv_stencil_fp32_nnz_per_s``, vs 70 % of HBM SoL); the other stages ride
-in ``extra``.
+can never hang the driver.  Integrity rules (r3 verdict):
+
+* Every stage declares a PHYSICAL bound (chip speed of light for its
+  quantity); a measurement above the bound is REJECTED, never published —
+  first at sample level (``_stable_marginal`` drops impossible samples),
+  then by a final hard gate before the stage returns.
+* A stage that fails records ``{"error": ...}`` in the output ``extra`` —
+  a missing metric can never pass unnoticed again.
+* Residual gates are dtype-derived (``core/policy.residual_bound``:
+  ``100·eps(effective dtype)·n``, the reference ``Cholesky.cpp:41-44``
+  formula), so stages survive fp32-on-TPU.
 
 Timing methodology (inside stages): every measurement forces a VALUE
 readback (``float(...)``) — through the axon tunnel ``block_until_ready``
 returns before device completion, so readback is the only trustworthy
-fence (measured this round).  Fast kernels use dependent-chain sweeps of
-R₁/R₂ device-side iterations and report the marginal time; the sweep pair
-is re-run until two estimates agree within 10 %.  Multi-dispatch pipelines
-(where a device loop would change the compiled code) use R pipelined
-dispatches + one readback.
+fence (measured r3).  Fast kernels use dependent-chain sweeps of R₁/R₂
+device-side iterations and report the MEDIAN of ≥3 agreeing marginal
+times (t(R₂)−t(R₁))/(R₂−R₁); the chain lengths are sized so the marginal
+window is ≥50 ms, amortizing tunnel jitter (the r3 GEMM stage measured
+MFU 1.09 > 1 with 10/40-rep chains — under-measurement, not speed).
 
 Roofline notes per stage are in the stage functions.
 """
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
+import traceback
 
 HBM_BW = {  # GB/s per chip
     "v5e": 819.0, "v5 lite": 819.0, "v4": 1228.0, "v5p": 2765.0,
@@ -46,20 +54,30 @@ def detect_bw():
     return 819.0e9, 197e12
 
 
-def _stable_marginal(sweep, r1, r2, tol=0.10, max_tries=5, sol=None):
-    """Marginal (t2−t1)/(r2−r1), repeated until two estimates agree within
-    tol and the result is physically possible (≤ SoL when given)."""
+def _stable_marginal(sweep, r1, r2, tol=0.07, need=3, max_tries=8,
+                     sol=None):
+    """Median of ``need`` agreeing marginals (t2−t1)/(r2−r1).
+
+    A sample implying a rate ABOVE the physical bound ``sol`` (per-rep
+    speed of light, seconds) is discarded — impossible numbers are
+    measurement error by definition.  Returns None when no agreeing
+    physically-possible estimate emerges."""
     ests = []
     for _ in range(max_tries):
         t1, t2 = sweep(r1), sweep(r2)
         dt = (t2 - t1) / (r2 - r1)
-        if dt <= 0 or (sol is not None and 1.0 / dt > 1.5 * sol):
+        if dt <= 0 or (sol is not None and dt < sol):
             continue  # jitter crossed or impossible — retry
         ests.append(dt)
-        if len(ests) >= 2 and abs(ests[-1] - ests[-2]) <= tol * ests[-1]:
-            return ests[-1]
-    if ests:
-        return min(ests)
+        if len(ests) >= need:
+            med = statistics.median(ests)
+            close = [e for e in ests if abs(e - med) <= tol * med]
+            if len(close) >= need:
+                return statistics.median(close)
+    if len(ests) >= 2:
+        med = statistics.median(ests)
+        if sol is None or med >= sol:
+            return med
     return None
 
 
@@ -114,10 +132,11 @@ def stage_stencil():
     bw, _ = detect_bw()
     bytes_per_nnz = 4.0 + 2.0 * 4.0 * A.height / max(A.nnz, 1)
     sol = bw / bytes_per_nnz          # nnz/s at speed of light
-    dt = _stable_marginal(sweep, 50, 250, sol=sol / A.nnz)
+    dt = _stable_marginal(sweep, 100, 1100, sol=A.nnz / sol)
     if dt is None:
-        return None
+        return {"error": "no stable physically-possible marginal"}
     nnz_per_s = A.nnz / dt
+    assert nnz_per_s <= sol, f"impossible: {nnz_per_s:.3g} > SoL {sol:.3g}"
     return {"metric": "spmv_stencil_fp32_nnz_per_s",
             "value": round(nnz_per_s, 1), "unit": "nnz/s",
             "vs_baseline": round(nnz_per_s / (0.70 * sol), 4),
@@ -132,8 +151,7 @@ def stage_unstructured():
     import numpy as np
     import jax
     import jax.numpy as jnp
-    from elemental_tpu.sparse import SparseMatrix
-    from elemental_tpu.kernels.unstructured import plan_gather_spmv
+    from elemental_tpu.sparse import SparseMatrix, plan_spmv
 
     n = 1 << 20
     rng = np.random.default_rng(0)
@@ -141,11 +159,9 @@ def stage_unstructured():
     cols = rng.integers(0, n, 10 * n)
     vals = rng.standard_normal(10 * n)
     A = SparseMatrix.from_coo(n, n, rows, cols, vals)
-    plan = plan_gather_spmv(A)
+    plan = plan_spmv(A)
     dev = jax.devices()[0]
-    plan = jax.device_put(plan, dev)
-    import dataclasses
-    plan = dataclasses.replace(plan, vals=plan.vals.astype(jnp.float32))
+    plan = plan.device(dev, dtype=jnp.float32)
     x = jax.device_put(rng.standard_normal(n).astype(np.float32), dev)
 
     mv = jax.jit(lambda plan, x: plan.matvec(x))
@@ -155,7 +171,6 @@ def stage_unstructured():
     assert rel < 1e-3, f"unstructured SpMV wrong: rel={rel}"
 
     def pipeline(reps):
-        s = 0.0
         float(jnp.sum(mv(plan, x)))      # warm + fence
         t0 = time.perf_counter()
         out = None
@@ -166,35 +181,54 @@ def stage_unstructured():
 
     bw, _ = detect_bw()
     sol = bw / 12.0                       # 12 B/nnz accounting (BASELINE)
-    dt = _stable_marginal(pipeline, 4, 12, sol=sol / A.nnz)
+    dt = _stable_marginal(pipeline, 4, 12, sol=A.nnz / sol)
     if dt is None:
-        return None
+        return {"error": "no stable physically-possible marginal"}
     nnz_per_s = A.nnz / dt
+    assert nnz_per_s <= sol, f"impossible: {nnz_per_s:.3g} > SoL {sol:.3g}"
     return {"metric": "spmv_unstructured_fp32_nnz_per_s",
             "value": round(nnz_per_s, 1), "unit": "nnz/s",
+            "kind": plan.kind,
             "vs_baseline": round(nnz_per_s / (0.70 * sol), 4),
             "sol_frac": round(nnz_per_s / sol, 4)}
 
 
 def stage_gemm():
     """SUMMA local-tier MXU MFU, bf16 and fp32 (Gemm_Suite.cpp:30-38
-    analog; single chip — the mesh path is exercised by the dryrun)."""
+    analog; single chip — the mesh path is exercised by the dryrun).
+
+    r3 shipped MFU 1.09 (impossible) from 10/40-rep chains: the ~20 ms
+    marginal window was inside tunnel-jitter range.  Now the window is
+    ≥300 matmuls (≥200 ms bf16), the marginal must agree 3× within 7 %,
+    samples above peak are discarded, and the final value is hard-gated
+    at 1.0× peak."""
     import numpy as np
     import jax
     import jax.numpy as jnp
 
     _, peak_bf16 = detect_bw()
     out = {}
-    for name, dtype, peak in [("bf16", jnp.bfloat16, peak_bf16),
-                              ("fp32", jnp.float32, peak_bf16 / 4)]:
+    errors = {}
+    # fp32 matmuls on TPU lower to ≥3 bf16 MXU passes under
+    # precision='highest' — the physical bound for that scheme is peak/3
+    for name, dtype, peak, prec in [
+            ("bf16", jnp.bfloat16, peak_bf16, "default"),
+            ("fp32", jnp.float32, peak_bf16 / 3, "highest")]:
         m = 4096
         a = jnp.asarray(np.random.default_rng(0).standard_normal(
             (m, m)).astype(np.float32)).astype(dtype)
 
+        fn = {}
+
+        def mm(a, acc):
+            return jnp.matmul(a, acc, precision=prec) * (1.0 / m)
+
         def sweep(reps):
-            f = jax.jit(lambda a: jnp.sum(jax.lax.fori_loop(
-                0, reps, lambda i, acc: (a @ acc) * (1.0 / m), a,
-            ).astype(jnp.float32)))
+            if reps not in fn:
+                fn[reps] = jax.jit(lambda a: jnp.sum(jax.lax.fori_loop(
+                    0, reps, lambda i, acc: mm(a, acc), a,
+                ).astype(jnp.float32)))
+            f = fn[reps]
             float(f(a))
             best = np.inf
             for _ in range(3):
@@ -204,18 +238,27 @@ def stage_gemm():
             return best
 
         flops = 2 * m ** 3
-        dt = _stable_marginal(sweep, 10, 40, sol=peak / flops)
-        if dt is not None:
-            out[f"gemm_{name}_tflops"] = round(flops / dt / 1e12, 2)
-            out[f"gemm_{name}_mfu"] = round(flops / dt / peak, 4)
-    return {"metric": "gemm_mfu", "value": out.get("gemm_bf16_mfu", 0.0),
-            "unit": "frac_peak", "vs_baseline": out.get("gemm_bf16_mfu", 0.0),
-            **out} if out else None
+        dt = _stable_marginal(sweep, 50, 350, sol=flops / peak)
+        if dt is None:
+            errors[name] = "no stable physically-possible marginal"
+            continue
+        mfu = flops / dt / peak
+        assert mfu <= 1.0, f"impossible {name} MFU {mfu:.4f} > 1"
+        out[f"gemm_{name}_tflops"] = round(flops / dt / 1e12, 2)
+        out[f"gemm_{name}_mfu"] = round(mfu, 4)
+    if errors:
+        out["errors"] = errors
+    if "gemm_bf16_mfu" not in out:
+        return {"error": "bf16 measurement failed", **out}
+    return {"metric": "gemm_mfu", "value": out["gemm_bf16_mfu"],
+            "unit": "frac_peak", "vs_baseline": out["gemm_bf16_mfu"],
+            **out}
 
 
 def stage_sparse_ldl():
     """Multifrontal LDL factor GFlop/s on a 3-D Laplacian
-    (SparseLDL.cpp:143-196 analog)."""
+    (SparseLDL.cpp:143-196 analog).  The residual gate is dtype-derived
+    (core/policy.residual_bound) so the stage survives fp32-on-TPU."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -228,71 +271,143 @@ def stage_sparse_ldl():
     f.factor()                      # warm: builds + compiles
     b = np.random.default_rng(0).standard_normal(A.height)
     x = f.solve(b)
-    r = np.linalg.norm(A.to_scipy() @ np.asarray(x) - b) / np.linalg.norm(b)
-    assert r < 1e-4, f"LDL residual {r}"
+    r = float(np.linalg.norm(A.to_scipy() @ np.asarray(x) - b)
+              / np.linalg.norm(b))
+    bound = f.residual_bound()
+    assert r < bound, f"LDL residual {r} > {bound}"
     gf = f.factor_gflops()
 
     vals = jnp.asarray(A.vals, f._dtype)
-    reg = jnp.zeros(A.height)
+    reg = jnp.zeros(A.height, f._dtype)
 
     def pipeline(reps):
-        pool = None
         f._factor_jit(f.symb, vals, reg)   # warm
+        d = None
         t0 = time.perf_counter()
         for _ in range(reps):
             pool, d = f._factor_jit(f.symb, vals, reg)
         float(jnp.sum(d))
         return time.perf_counter() - t0
 
-    dt = _stable_marginal(pipeline, 2, 6)
+    _, peak_bf16 = detect_bw()
+    peak_fp32 = peak_bf16 / 4
+    dt = _stable_marginal(pipeline, 2, 6, sol=gf * 1e9 / peak_fp32)
     if dt is None:
-        return None
+        return {"error": "no stable physically-possible marginal",
+                "residual": r, "residual_bound": bound}
+    gfs = gf / dt
+    assert gfs * 1e9 <= peak_fp32, f"impossible {gfs} GF/s > fp32 peak"
     return {"metric": "sparse_ldl_factor_gflops",
-            "value": round(gf / dt, 2), "unit": "GFlop/s",
-            "vs_baseline": round(gf / dt, 2),
-            "factor_seconds": round(dt, 4), "residual": float(r)}
+            "value": round(gfs, 2), "unit": "GFlop/s",
+            "vs_baseline": round(gfs, 2),
+            "factor_seconds": round(dt, 4), "residual": r,
+            "residual_bound": round(bound, 6)}
+
+
+def stage_condense():
+    """HermitianTridiag n=4096 (blocked latrd panels + rank-2nb MXU
+    trailing updates, ``lapack/condense.py``): wall seconds + effective
+    GFlop/s against the 4/3·n³ reduction flop count (reference per-stage
+    eigensolver timings, ``HermitianEig.cpp:943-1056``)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from elemental_tpu.lapack import hermitian_tridiag
+
+    n = 4096
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    A = jnp.asarray(a + a.T)
+
+    f = jax.jit(lambda A: hermitian_tridiag("L", A, want_q=False)[:2])
+    d, e = f(A)
+    # correctness: eigenvalue agreement vs host LAPACK on the tridiagonal
+    import scipy.linalg as sla
+    w_t = sla.eigvalsh_tridiagonal(np.asarray(d, np.float64),
+                                   np.asarray(e, np.float64),
+                                   select="i", select_range=(n - 5, n - 1))
+    w_a = np.linalg.eigvalsh(np.asarray(A, np.float64))[-5:]
+    scale = np.abs(w_a).max()
+    err = np.abs(w_t - w_a).max() / scale
+    from elemental_tpu.core.policy import residual_bound
+    bound = residual_bound(A.dtype, n)   # 100·eps(f32)·n ≈ 0.049 at n=4096
+    assert err < bound, f"tridiag eigenvalues off: {err} > {bound}"
+
+    def sweep(reps):
+        float(jnp.sum(f(A)[0]))
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = f(A)
+            float(jnp.sum(out[0]))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    flops = 4.0 / 3.0 * n ** 3
+    _, peak_bf16 = detect_bw()
+    peak_fp32 = peak_bf16 / 4
+    dt = _stable_marginal(sweep, 1, 3, sol=flops / peak_fp32)
+    if dt is None:
+        return {"error": "no stable physically-possible marginal"}
+    gfs = flops / dt / 1e9
+    assert gfs * 1e9 <= peak_fp32, f"impossible {gfs} GF/s > fp32 peak"
+    return {"metric": "hermitian_tridiag_gflops", "value": round(gfs, 2),
+            "unit": "GFlop/s", "vs_baseline": round(gfs, 2),
+            "seconds": round(dt, 4), "eig_err": float(err)}
 
 
 STAGES = {"stencil": stage_stencil, "unstructured": stage_unstructured,
-          "gemm": stage_gemm, "sparse_ldl": stage_sparse_ldl}
+          "gemm": stage_gemm, "sparse_ldl": stage_sparse_ldl,
+          "condense": stage_condense}
 
 
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--stage":
-        res = STAGES[sys.argv[2]]()
+        try:
+            res = STAGES[sys.argv[2]]()
+        except Exception:  # noqa: BLE001 — recorded, never silent
+            res = {"error": traceback.format_exc(limit=3).strip()[-600:]}
         print("BENCH_RESULT " + json.dumps(res))
         return
 
-    # orchestrator: each stage in a subprocess with a hard timeout
+    # orchestrator: each stage in a subprocess with a hard timeout;
+    # EVERY stage appears in the output — as a metric or as an error
     tb = float(os.environ.get("BENCH_TIMEOUT", "0"))
-    budget = {"stencil": 900, "unstructured": 900, "gemm": 600,
-              "sparse_ldl": 900}
+    budget = {"stencil": 900, "unstructured": 900, "gemm": 900,
+              "sparse_ldl": 900, "condense": 900}
     if tb:
         budget = {k: tb for k in budget}
     results = {}
-    for name, fn in STAGES.items():
+    only = os.environ.get("BENCH_STAGES")
+    names = list(STAGES) if not only else only.split(",")
+    for name in names:
         for attempt in range(2):
             try:
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--stage", name],
                     capture_output=True, text=True, timeout=budget[name])
+                res = None
                 for line in proc.stdout.splitlines():
                     if line.startswith("BENCH_RESULT "):
                         res = json.loads(line[len("BENCH_RESULT "):])
-                        if res is not None:
-                            results[name] = res
                         break
-                if name in results:
+                if res is None:
+                    res = {"error": "stage died: "
+                           + proc.stderr.strip()[-400:]}
+                results[name] = res
+                if "error" not in res:
                     break
             except subprocess.TimeoutExpired:
-                continue
+                results[name] = {"error":
+                                 f"timeout after {budget[name]}s"}
 
     head = results.get("stencil")
-    if head is None:
+    if head is None or "error" in head:
         head = {"metric": "spmv_stencil_fp32_nnz_per_s", "value": 0.0,
                 "unit": "nnz/s", "vs_baseline": 0.0,
-                "error": "stage failed or timed out"}
+                "error": (head or {}).get("error", "stage missing")}
     head["extra"] = {k: v for k, v in results.items() if k != "stencil"}
     print(json.dumps(head))
 

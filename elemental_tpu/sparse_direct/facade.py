@@ -10,6 +10,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from ..core.policy import default_real_dtype, residual_bound, x64_enabled
 from ..sparse.csr import SparseMatrix
 from .symbolic import SymbolicFactorization, analyze
 from .numeric import LDLFactorization, factor
@@ -41,7 +42,7 @@ class SparseLDLFactorization:
         self.numeric: Optional[LDLFactorization] = None
         self.hermitian = False
         self._reg: Optional[np.ndarray] = None
-        self._dtype = jnp.float64
+        self._dtype = default_real_dtype()
         self._factor_jit = None
         self._solve_jit = {}
 
@@ -53,8 +54,12 @@ class SparseLDLFactorization:
         ``NestedDissection`` + ``Analysis``)."""
         self.A = A
         self.hermitian = hermitian
-        self._dtype = (jnp.complex128 if np.iscomplexobj(A.vals)
-                       else jnp.float64)
+        # platform-aware working dtype (core/policy.py): f64 under x64,
+        # f32 on TPU — no silent x64-truncation warnings downstream
+        if np.iscomplexobj(A.vals):
+            self._dtype = jnp.complex128 if x64_enabled() else jnp.complex64
+        else:
+            self._dtype = default_real_dtype()
         if perm is None:
             from .ordering import nested_dissection
             perm = nested_dissection(A, cutoff=cutoff)
@@ -97,8 +102,8 @@ class SparseLDLFactorization:
                 return num.pool, num.d
 
             self._factor_jit = jax.jit(_do)
-        regv = (jnp.asarray(np.zeros(self.symb.n) if reg is None else reg)
-                )
+        rdt = jnp.zeros((), self._dtype).real.dtype
+        regv = jnp.asarray(np.zeros(self.symb.n) if reg is None else reg, rdt)
         pool, d = self._factor_jit(self.symb,
                                    jnp.asarray(self.A.vals, self._dtype),
                                    regv)
@@ -148,6 +153,14 @@ class SparseLDLFactorization:
     def inertia(self):
         assert self.numeric is not None
         return self.numeric.inertia()
+
+    def residual_bound(self, factor: float = 100.0) -> float:
+        """Dtype-derived acceptable relative residual for solve-after-factor
+        on this matrix: ``factor · eps(effective dtype) · n`` (reference
+        ``Cholesky.cpp:41-44``; VERDICT r3 #6 — thresholds are derived, not
+        guessed per-site)."""
+        assert self.A is not None
+        return residual_bound(self._dtype, self.A.height, factor)
 
     def factor_nnz(self) -> int:
         assert self.symb is not None

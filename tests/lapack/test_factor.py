@@ -188,6 +188,20 @@ def test_qr_pivoted():
     assert np.allclose(q @ r, a[:, p], rtol=1e-8, atol=1e-8)
     d = np.abs(np.diag(r))
     assert np.all(d[:-1] >= d[1:] - 1e-8)  # pivoting ⇒ decreasing |r_kk|
+    # orthonormality of the loop-formed Q (r4: the loop's own factorization
+    # is the output — no second QR)
+    assert np.allclose(q.T @ q, np.eye(n), atol=1e-8)
+
+
+def test_qr_pivoted_complex():
+    m, n = 24, 16
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((m, n)) + 1j * rng.standard_normal((m, n))
+    fact = la.qr_pivoted(jnp.asarray(a))
+    q, r, p = np.asarray(fact.q), np.asarray(fact.r), np.asarray(fact.perm)
+    assert np.allclose(q @ r, a[:, p], rtol=1e-8, atol=1e-8)
+    assert np.allclose(q.conj().T @ q, np.eye(n), atol=1e-8)
+    assert np.abs(np.tril(r, -1)).max() < 1e-10
 
 
 def test_lq_rq():
@@ -259,19 +273,6 @@ def test_inertia():
     a = q @ a @ q.T
     pos, neg, zero = la.inertia(jnp.asarray((a + a.T) / 2), conjugate=False)
     assert (int(pos), int(neg), int(zero)) == (3, 2, 0)
-
-
-def test_tsqr_tree_matches_gather(grid8):
-    """Butterfly tree TSQR == all-gather TSQR == reference QR."""
-    import jax.numpy as jnp
-    from elemental_tpu.lapack.qr import tsqr
-    a = RNG.standard_normal((256, 12)).astype(np.float64)
-    for tree in (False, True):
-        res = tsqr(jnp.asarray(a), grid=grid8, tree=tree)
-        q, r = np.asarray(res.Q), np.asarray(res.R)
-        np.testing.assert_allclose(q @ r, a, atol=1e-10)
-        np.testing.assert_allclose(q.T @ q, np.eye(12), atol=1e-10)
-        assert np.abs(np.tril(r, -1)).max() < 1e-12
 
 
 def test_tsqr_tree_matches_gather(grid8):
