@@ -142,13 +142,23 @@ class KKTSystem:
         return v, d
 
     def prepare(self, vals: jnp.ndarray, spd: bool = False,
-                equilibrate: bool = True) -> "KKTFactor":
-        """Equilibrate + factor the assembled KKT (jit-safe)."""
+                equilibrate: bool = True,
+                pivot_floor=None) -> "KKTFactor":
+        """Equilibrate + factor the assembled KKT (jit-safe).
+
+        ``pivot_floor``: optional (N,) signed floors (original order) for
+        the multifrontal kernel's dynamic pivot regularization (reference
+        ``RegularizedLDL``) — essential for the quasi-definite KKT in
+        fp32, where unclamped pivots cross zero and destroy the factor
+        (measured r4: factored-solve residual 0.6 at a 4-decade Θ spread).
+        Floors live in the EQUILIBRATED scale (the Ruiz-scaled diagonal is
+        O(1)), so constants ~√eps are appropriate."""
         if equilibrate:
             v, scale = self.equilibrate(vals)
         else:
             v, scale = vals, jnp.ones(self.N, vals.dtype)
-        num = _mf_factor(self.symb, v, dtype=v.dtype, spd=spd)
+        num = _mf_factor(self.symb, v, dtype=v.dtype, spd=spd,
+                         pivot_floor=pivot_floor)
         return KKTFactor(self, vals, num.pool, num.d, scale)
 
     def matvec(self, vals: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -156,6 +166,35 @@ class KKTSystem:
         prod = vals * x[self.csr_cols]
         return jax.ops.segment_sum(prod, self.csr_rows,
                                    num_segments=self.N)
+
+
+def _hessenberg_lstsq(H: jnp.ndarray, b: jnp.ndarray, k: int) -> jnp.ndarray:
+    """min‖H·y − b‖ for the (k+1)×k GMRES Hessenberg via k Givens
+    rotations + back-substitution — elementary ops only, so it is
+    jit-safe in ANY dtype on TPU (``jnp.linalg.lstsq`` SIGABRTs the XLA
+    TPU compiler inside TransposeFolding, and normal equations square the
+    conditioning, which an f32 subsolve then cannot survive — both
+    measured r4).  k is small (≤ ~8), the rotations are unrolled."""
+    R = H
+    for j in range(k):
+        a1, a2 = R[j, j], R[j + 1, j]
+        rho = jnp.sqrt(a1 * a1 + a2 * a2)
+        safe = jnp.where(rho > 0, rho, 1.0)
+        c = jnp.where(rho > 0, a1 / safe, 1.0)
+        s = jnp.where(rho > 0, a2 / safe, 0.0)
+        rj, rj1 = R[j], R[j + 1]
+        R = R.at[j].set(c * rj + s * rj1)
+        R = R.at[j + 1].set(-s * rj + c * rj1)
+        bj, bj1 = b[j], b[j + 1]
+        b = b.at[j].set(c * bj + s * bj1)
+        b = b.at[j + 1].set(-s * bj + c * bj1)
+    y = jnp.zeros(k, H.dtype)
+    for j in range(k - 1, -1, -1):
+        num = b[j] - R[j, :k] @ y     # y[i]=0 for i ≤ j, so this is Σ_{i>j}
+        dj = R[j, j]
+        y = y.at[j].set(jnp.where(jnp.abs(dj) > 0, num
+                                  / jnp.where(dj == 0, 1.0, dj), 0.0))
+    return y
 
 
 @dataclasses.dataclass
@@ -173,40 +212,46 @@ class KKTFactor:
                                False).solve(self.scale * rhs)
         return self.scale * raw
 
+    # Unrolled straight-line Arnoldi only below this problem size: each
+    # multifrontal-solve instance in the graph costs XLA ~1-2 min of TPU
+    # compile at N≈7k (measured r4: factor 22 s, +1 solve 81 s, +2 solves
+    # 219 s), so k unrolled solves at scale never finish compiling — the
+    # r3 "lp_direct_large --n1 64 does not complete" failure.
+    UNROLL_MAX_N = 4096
+
     def solve_refined(self, rhs: jnp.ndarray,
                       reg_diag: Optional[jnp.ndarray] = None,
                       iters: int = 2, unroll: Optional[bool] = None) -> jnp.ndarray:
-        """Solve K₀·x = rhs where K₀ = K − diag(reg_diag), using the LDL
-        factor of the regularized K as a preconditioner for ``iters`` steps
-        of FGMRES (the reference's refined ``SolveAfter`` path, upgraded
-        from Richardson to a Krylov-optimal correction).  Near convergence
-        the IPM KKT is simultaneously ill-conditioned and near-singular in
-        the degenerate directions; plain refinement either diverges or
-        stalls there, while GMRES minimizes the true residual over the
-        preconditioned Krylov space and falls back gracefully (the result
-        is never worse than the plain factored solve)."""
+        """Solve K₀·x = rhs where K₀ = K − diag(reg_diag), by ``iters``
+        steps of FGMRES preconditioned with the LDL factor of the
+        regularized K (the reference's refined ``SolveAfter`` path,
+        upgraded from Richardson to a Krylov-optimal correction).  Near
+        convergence the IPM KKT is simultaneously ill-conditioned and
+        near-singular in the degenerate directions; plain refinement
+        either diverges or stalls there, while GMRES minimizes the true
+        residual over the preconditioned Krylov space and falls back
+        gracefully (the result is never worse than the plain factored
+        solve, which is recovered as β·Z[0] — no separate solve).
+
+        The small least-squares min‖H·y − β·e₁‖ is solved via
+        ridge-stabilized normal equations: ``jnp.linalg.lstsq`` aborts the
+        XLA TPU compiler inside TransposeFolding when embedded in this
+        graph (SIGABRT ``Check failed: buffer != nullptr``, measured r4 at
+        N≈7k), and k ≤ ~8 keeps the normal equations benign."""
         def K0(x):
             kx = self.sys.matvec(self.vals, x)
             if reg_diag is not None:
                 kx = kx - reg_diag * x
             return kx
 
-        x0 = self.solve(rhs)
-        r0 = rhs - K0(x0)
-        beta = jnp.linalg.norm(r0)
+        beta = jnp.linalg.norm(rhs)
         k = max(1, int(iters))
         N = rhs.shape[0]
         V = jnp.zeros((k + 1, N), rhs.dtype)
-        V = V.at[0].set(r0 / jnp.where(beta > 0, beta, 1.0))
+        V = V.at[0].set(rhs / jnp.where(beta > 0, beta, 1.0))
         Z = jnp.zeros((k, N), rhs.dtype)
         H = jnp.zeros((k + 1, k), rhs.dtype)
 
-        # Arnoldi: UNROLLED by default (python loop → straight-line HLO).
-        # On TPU, gather/scatter nested inside lax loop bodies falls onto a
-        # catastrophically slow emitter (measured this round); the
-        # multifrontal solve inside the body is gather-heavy, so the k-fold
-        # larger straight-line graph is the fast shape.  ``unroll=False``
-        # restores the compact fori_loop body (CPU-friendly).
         def body(j, carry):
             V, Z, H = carry
             z = self.solve(V[j])
@@ -221,8 +266,11 @@ class KKTFactor:
             return V, Z, H
 
         if unroll is None:
-            # TPU: unrolled straight-line gathers; CPU: compact loop body
-            unroll = _placement_platform() != "cpu"
+            # TPU: straight-line gathers beat the lax-loop gather emitter,
+            # but only while the graph still compiles in finite time; past
+            # UNROLL_MAX_N the single-solve-instance loop body wins.
+            unroll = (_placement_platform() != "cpu"
+                      and N <= self.UNROLL_MAX_N)
         if unroll:
             carry = (V, Z, H)
             for j in range(k):
@@ -231,10 +279,12 @@ class KKTFactor:
         else:
             V, Z, H = jax.lax.fori_loop(0, k, body, (V, Z, H))
         e1 = jnp.zeros(k + 1, rhs.dtype).at[0].set(beta)
-        y, *_ = jnp.linalg.lstsq(H, e1)
-        cand = x0 + Z.T @ y
-        # monotone safeguard: keep the Krylov correction only if it helps
-        better = jnp.linalg.norm(rhs - K0(cand)) < beta
+        y = _hessenberg_lstsq(H, e1, k)
+        cand = Z.T @ y
+        x0 = beta * Z[0]               # the plain preconditioned solve
+        # monotone safeguard: keep the Krylov combination only if it helps
+        better = (jnp.linalg.norm(rhs - K0(cand))
+                  < jnp.linalg.norm(rhs - K0(x0)))
         return jnp.where(better, cand, x0)
 
 

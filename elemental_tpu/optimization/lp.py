@@ -32,22 +32,45 @@ from ..sparse.io import MPSData
 from .kkt import KKTBuilder, KKTSystem
 
 
-def _resolve_unroll(ctrl) -> bool:
-    """Resolve the refinement-loop unroll flag OUTSIDE tracing: unrolled
-    straight-line gathers on accelerators (the TPU lax-loop gather path is
-    a scalar cliff), compact fori_loop on CPU."""
-    if ctrl.refine_unroll is not None:
-        return ctrl.refine_unroll
-    import jax
-    try:
-        return next(iter(jnp.zeros(()).devices())).platform != "cpu"
-    except Exception:
-        return jax.default_backend() != "cpu"
+def _resolve_numerics(ctrl):
+    """Working-dtype-aware (reg, tol): the f64-era defaults (γ=δ=1e-9,
+    tol=1e-8) are BELOW f32 resolution — on a non-x64 TPU they produce
+    pivot blowups (NaN at the first iteration, measured r4) and an
+    unreachable stopping test.  Under f32 the regularization floor is
+    ~√eps·0.1 and the tolerance floor ~50·eps (core/policy philosophy);
+    under x64 the classical values pass through unchanged."""
+    from ..core.policy import default_real_dtype
+    eps = float(jnp.finfo(default_real_dtype()).eps)
+    reg = ctrl.reg
+    if reg is None:
+        reg = 1e-9 if eps < 1e-10 else 0.1 * float(np.sqrt(eps))
+    # the f32 duality-gap floor: measured (r4, FD LP n=3456 on v5e) the
+    # iterate converges smoothly to gap ≈ 2e-4 then hits fp noise; 2000·eps
+    # declares convergence there instead of running into the breakdown guard
+    tol = max(ctrl.tol, 2000.0 * eps)
+    return reg, tol
+
+
+def _resolve_unroll(ctrl) -> 'Optional[bool]':
+    """Resolve the refinement-loop unroll flag OUTSIDE tracing.  None is
+    passed through: :meth:`KKTFactor.solve_refined` then decides from the
+    platform AND the problem size (unrolled straight-line gathers beat the
+    TPU lax-loop gather emitter, but each unrolled multifrontal solve costs
+    XLA minutes of compile at scale — kkt.py UNROLL_MAX_N)."""
+    return ctrl.refine_unroll
 
 
 class Approach:
     MEHROTRA = "mehrotra"
     IPF = "ipf"
+
+
+# Above this KKT size the fused per-step jit is replaced by a
+# python-orchestrated step with ONE compiled factor + ONE compiled
+# refined-solve (see the ``large`` branch in :func:`lp_direct`): each
+# multifrontal-solve instance embedded in a jit costs XLA minutes of TPU
+# compile time at scale.
+LARGE_FUSED_N = 8192
 
 
 @dataclasses.dataclass
@@ -59,9 +82,9 @@ class LPCtrl:
     tau: float = 0.995          # fraction-to-boundary
     sigma_ipf: float = 0.3      # centering for IPF
     backend: str = "auto"       # kept for API parity; the path is sparse
-    reg: float = 1e-9
+    reg: 'Optional[float]' = None   # None: dtype-aware (1e-9 f64, ~3e-5 f32)
     refine_iters: int = 8       # FGMRES steps against the exact KKT
-    refine_unroll: 'Optional[bool]' = None  # None: unroll unless on CPU
+    refine_unroll: 'Optional[bool]' = None  # None: platform+size policy
     verbose: bool = False
     ordering: Optional[np.ndarray] = None  # precomputed KKT fill ordering
 
@@ -140,7 +163,8 @@ def lp_direct(A: SparseMatrix, b: np.ndarray, c: np.ndarray,
     b = b / r
     c = c / s
 
-    gamma = delta = ctrl.reg
+    gamma, tol = _resolve_numerics(ctrl)
+    delta = gamma
     kkt, _ = _build_lp_kkt(A, gamma, delta, ctrl.ordering)
     reg_diag = jnp.concatenate([jnp.full(n, gamma), jnp.full(m, -delta)])
 
@@ -149,15 +173,24 @@ def lp_direct(A: SparseMatrix, b: np.ndarray, c: np.ndarray,
     bj, cj = jnp.asarray(b), jnp.asarray(c)
     bnorm = float(np.linalg.norm(b)) + 1.0
     cnorm = float(np.linalg.norm(c)) + 1.0
-    tol, tau = ctrl.tol, ctrl.tau
+    tau = ctrl.tau
     nref = ctrl.refine_iters
+
+    # Dynamic pivot-floor regularization (reference RegularizedLDL) is
+    # available via kkt.prepare(pivot_floor=...) but OFF here: measured r4,
+    # boosting the ~3 % of pivots that sit exactly at the static ±γ made
+    # the theta=1 factored solve 1000× WORSE (those pivots are exact — the
+    # static regularization IS their value), while the stalls it aimed at
+    # were actually the broken small least-squares inside FGMRES (fixed by
+    # the Givens path in kkt._hessenberg_lstsq).
+    pivot_floor = None
 
     # device containers (kkt, Ad, Atd) and data vectors are passed to the
     # jitted start/step as ARGUMENTS — closing over them would embed the
     # index arrays as jaxpr constants, the TPU scalar-gather cliff
     # (core/statics.py)
     def kfactor(kkt, theta):
-        return kkt.prepare(kkt.assemble([theta]))
+        return kkt.prepare(kkt.assemble([theta]), pivot_floor=pivot_floor)
 
     unroll = _resolve_unroll(ctrl)
 
@@ -186,8 +219,17 @@ def lp_direct(A: SparseMatrix, b: np.ndarray, c: np.ndarray,
     mehrotra = ctrl.approach == Approach.MEHROTRA
     sigma_ipf = ctrl.sigma_ipf
 
+    # At scale, one fused step-jit would embed 2 multifrontal-solve
+    # instances (plus 2 in start) and each instance costs XLA minutes of
+    # TPU compile (measured r4: factor 28 s, +1 solve 63 s at N≈7k).  The
+    # large path orchestrates the SAME math from python with exactly one
+    # compiled factor and one compiled refined-solve, reused for every
+    # solve of every iteration; the in-loop FGMRES body runs at
+    # straight-line solve speed (measured r4: 0.25 s/solve either way).
+    large = kkt.N > LARGE_FUSED_N
+
     @jax.jit
-    def step(x, y, z, kkt, reg_diag, Ad, Atd, bj, cj):
+    def step(x, y, z, kkt, reg_diag, Ad, Atd, bj, cj, nb):
         rb = bj - Ad.matvec(x)
         rc = cj - Atd.matvec(y) - z
         mu = x @ z / n
@@ -213,7 +255,10 @@ def lp_direct(A: SparseMatrix, b: np.ndarray, c: np.ndarray,
 
         ap = _steplen_j(x, dx, tau)
         ad = _steplen_j(z, dz, tau)
-        # infeasible-IPM neighborhood safeguard: keep μ₊ coupled to ‖rb₊‖
+        # infeasible-IPM neighborhood safeguard: keep μ₊ coupled to ‖rb₊‖,
+        # SCALE-FREE via nb = μ₀/‖rb₀‖ (r4 fix: the bare 1e-5 constant
+        # compared an absolute μ to a relative residual and at larger
+        # scales backed every step off to ~0.7⁴⁰ — a permanent stall)
         rbn = jnp.linalg.norm(rb) / bnorm
 
         def cond(carry):
@@ -222,8 +267,8 @@ def lp_direct(A: SparseMatrix, b: np.ndarray, c: np.ndarray,
             zn = z + ad_c * dz
             mun = xn @ zn / n
             rbn_new = jnp.linalg.norm(bj - Ad.matvec(xn)) / bnorm
-            return ((i < 40) & (rbn > 10 * tol)
-                    & (mun < 1e-5 * rbn_new) & (rbn_new > 10 * tol))
+            return ((i < 12) & (rbn > 10 * tol)
+                    & (mun < 1e-5 * nb * rbn_new) & (rbn_new > 10 * tol))
 
         def backoff(carry):
             ap_c, ad_c, i = carry
@@ -239,20 +284,144 @@ def lp_direct(A: SparseMatrix, b: np.ndarray, c: np.ndarray,
         return (xn, yn, zn,
                 jnp.linalg.norm(rb), jnp.linalg.norm(rc), gap, ok)
 
-    x, y, z = start(kkt, reg_diag, bj, cj)
+    if large:
+        @jax.jit
+        def jfactor(kkt, theta):
+            return kkt.prepare(kkt.assemble([theta]),
+                               pivot_floor=pivot_floor)
+
+        @jax.jit
+        def jrefined(fact, reg_diag, rhs):
+            return fact.solve_refined(rhs, reg_diag, iters=nref,
+                                      unroll=False)
+
+        def ksolve_py(fact, f, g):
+            sol = jrefined(fact, reg_diag, jnp.concatenate([f, g]))
+            return sol[:n], sol[n:]
+
+        @jax.jit
+        def jstart_shift(x_t, z_t, y):
+            dx = jnp.maximum(-1.5 * jnp.min(x_t), 0.0)
+            dz = jnp.maximum(-1.5 * jnp.min(z_t), 0.0)
+            x_h = x_t + dx + 1e-10
+            z_h = z_t + dz + 1e-10
+            xs = x_h @ z_h
+            x = x_h + 0.5 * xs / jnp.maximum(jnp.sum(z_h), 1e-10)
+            z = z_h + 0.5 * xs / jnp.maximum(jnp.sum(x_h), 1e-10)
+            return jnp.maximum(x, 1e-8), y, jnp.maximum(z, 1e-8)
+
+        @jax.jit
+        def jpre(x, y, z, Ad, Atd, bj, cj):
+            rb = bj - Ad.matvec(x)
+            rc = cj - Atd.matvec(y) - z
+            mu = x @ z / n
+            gap = jnp.abs(cj @ x - bj @ y) / (1 + jnp.abs(cj @ x))
+            return rb, rc, mu, gap, z / x
+
+        @jax.jit
+        def jpred(x, z, mu, p, q, rc, Atd):
+            dxa, dya = p, -q
+            dza = rc - Atd.matvec(dya)
+            ap = _steplen_j(x, dxa, 1.0)
+            ad = _steplen_j(z, dza, 1.0)
+            mu_aff = (x + ap * dxa) @ (z + ad * dza) / n
+            sigma = jnp.where(mu > 0, (mu_aff / mu) ** 3, 0.0)
+            return sigma * mu - x * z - dxa * dza
+
+        @jax.jit
+        def jpost(x, y, z, p, q, rb, rc, gap, Ad, Atd, bj, nb):
+            dx, dy = p, -q
+            dz = rc - Atd.matvec(dy)
+            ap = _steplen_j(x, dx, tau)
+            ad = _steplen_j(z, dz, tau)
+            rbn = jnp.linalg.norm(rb) / bnorm
+
+            def cond(carry):
+                ap_c, ad_c, i = carry
+                xn = x + ap_c * dx
+                zn = z + ad_c * dz
+                mun = xn @ zn / n
+                rbn_new = jnp.linalg.norm(bj - Ad.matvec(xn)) / bnorm
+                return ((i < 12) & (rbn > 10 * tol)
+                        & (mun < 1e-5 * nb * rbn_new)
+                        & (rbn_new > 10 * tol))
+
+            def backoff(carry):
+                ap_c, ad_c, i = carry
+                return ap_c * 0.7, ad_c * 0.7, i + 1
+
+            ap, ad, _ = jax.lax.while_loop(cond, backoff, (ap, ad, 0))
+            xn, yn, zn = x + ap * dx, y + ad * dy, z + ad * dz
+            ok = (jnp.all(jnp.isfinite(xn)) & jnp.all(jnp.isfinite(yn))
+                  & jnp.all(jnp.isfinite(zn)))
+            return (xn, yn, zn,
+                    jnp.linalg.norm(rb), jnp.linalg.norm(rc), gap, ok)
+
+        @jax.jit
+        def jaff_f(z, rc):               # predictor rhs: (−x·z)/x − rc
+            return -z - rc
+
+        @jax.jit
+        def jrhs_f(x, rmu, rc):
+            return rmu / x - rc
+
+        @jax.jit
+        def jrmu_ipf(x, z, mu):
+            return sigma_ipf * mu - x * z
+
+        def start_py():
+            fact = jfactor(kkt, jnp.ones(n, bj.dtype))
+            x_t, _ = ksolve_py(fact, jnp.zeros(n, bj.dtype), bj)
+            z_t, yq = ksolve_py(fact, cj, jnp.zeros(m, bj.dtype))
+            return jstart_shift(x_t, z_t, yq)
+
+        def step_py(x, y, z):
+            rb, rc, mu, gap, theta = jpre(x, y, z, Ad, Atd, bj, cj)
+            fact = jfactor(kkt, theta)
+            if mehrotra:
+                p, q = ksolve_py(fact, jaff_f(z, rc), rb)
+                rmu = jpred(x, z, mu, p, q, rc, Atd)
+            else:
+                rmu = jrmu_ipf(x, z, mu)
+            p, q = ksolve_py(fact, jrhs_f(x, rmu, rc), rb)
+            return jpost(x, y, z, p, q, rb, rc, gap, Ad, Atd, bj, nb)
+
+        x, y, z = start_py()
+    else:
+        x, y, z = start(kkt, reg_diag, bj, cj)
+    # neighborhood scale μ₀/‖rb₀‖ for the scale-free backoff safeguard
+    mu0 = float(jnp.vdot(x, z)) / n
+    rb0n = float(jnp.linalg.norm(bj - Ad.matvec(x))) / bnorm
+    nb = jnp.asarray(mu0 / max(rb0n, 1e-30), bj.dtype)
     it = 0
     converged = False
+    best_metric, best_xyz = np.inf, None
     for it in range(1, ctrl.max_iters + 1):
         xp, yp, zp = x, y, z
-        x, y, z, rbn, rcn, gap, ok = step(x, y, z, kkt, reg_diag, Ad, Atd,
-                                          bj, cj)
+        if large:
+            x, y, z, rbn, rcn, gap, ok = step_py(x, y, z)
+        else:
+            x, y, z, rbn, rcn, gap, ok = step(x, y, z, kkt, reg_diag,
+                                              Ad, Atd, bj, cj, nb)
         rbn, rcn, gap = float(rbn), float(rcn), float(gap)
-        if not bool(ok) or not np.isfinite(rbn + rcn + gap):
-            x, y, z = xp, yp, zp   # numerical breakdown: keep last finite
-            break
-        if rbn / bnorm < tol and rcn / cnorm < tol and gap < tol:
-            x, y, z = xp, yp, zp   # residuals were of the pre-step iterate
+        metric = max(rbn / bnorm, rcn / cnorm, gap)
+        if np.isfinite(metric) and metric < best_metric:
+            # residuals belong to the PRE-step iterate — track the best
+            # (fp32 IPM trajectories degrade after stagnating; on
+            # breakdown the best iterate is the answer, not the last)
+            best_metric, best_xyz = metric, (xp, yp, zp)
+        if np.isfinite(metric) and metric < tol:
+            # the residuals belong to the PRE-step iterate: if it meets the
+            # tolerance, convergence stands even when the (pointless) step
+            # just taken blew up — checked BEFORE the breakdown guard
+            x, y, z = xp, yp, zp
             converged = True
+            break
+        if not bool(ok) or not np.isfinite(rbn + rcn + gap):
+            if best_xyz is not None:
+                x, y, z = best_xyz
+            else:
+                x, y, z = xp, yp, zp
             break
         if ctrl.verbose:
             print(f"  it {it}: rb={rbn:.2e} rc={rcn:.2e} gap={gap:.2e}")
@@ -277,7 +446,8 @@ def lp_affine(A: SparseMatrix, b: np.ndarray, G: SparseMatrix,
     m, n = A.shape
     k = G.shape[0]
     N = n + m + k
-    gamma = delta = ctrl.reg
+    gamma, _tol_eff = _resolve_numerics(ctrl)
+    delta = gamma
 
     kb = KKTBuilder(N)
     arows = np.repeat(np.arange(m), A.row_nnz()) + n
@@ -300,7 +470,7 @@ def lp_affine(A: SparseMatrix, b: np.ndarray, G: SparseMatrix,
     Ad, Atd = A.device_csr(), A.transpose().device_csr()
     Gd, Gtd = G.device_csr(), G.transpose().device_csr()
     bj, hj, cj = jnp.asarray(b), jnp.asarray(h), jnp.asarray(c)
-    tau, tol = ctrl.tau, ctrl.tol
+    tau, tol = ctrl.tau, _tol_eff
     nref = ctrl.refine_iters
     unroll = _resolve_unroll(ctrl)
     mehrotra = ctrl.approach == Approach.MEHROTRA

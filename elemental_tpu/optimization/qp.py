@@ -34,7 +34,9 @@ def qp_direct(Q, A, b: np.ndarray, c: np.ndarray,
         A = SparseMatrix.from_dense(np.asarray(A))
     m, n = A.shape
     N = n + m
-    gamma = delta = ctrl.reg
+    from .lp import _resolve_numerics
+    gamma, _tol_eff = _resolve_numerics(ctrl)
+    delta = gamma
 
     kb = KKTBuilder(N)
     qrows = np.repeat(np.arange(n), Q.row_nnz())
@@ -52,7 +54,7 @@ def qp_direct(Q, A, b: np.ndarray, c: np.ndarray,
     Qd = Q.device_csr()
     Ad, Atd = A.device_csr(), A.transpose().device_csr()
     bj, cj = jnp.asarray(b), jnp.asarray(c)
-    tau, tol = ctrl.tau, ctrl.tol
+    tau, tol = ctrl.tau, _tol_eff
     nref = ctrl.refine_iters
     from .lp import _resolve_unroll
     unroll = _resolve_unroll(ctrl)

@@ -296,7 +296,9 @@ def socp_affine(A, b: np.ndarray, G, h: np.ndarray, c: np.ndarray,
         n = c.shape[0]
     k = cones.dim
     N = n + m + k
-    gamma = delta = ctrl.reg
+    from .lp import _resolve_numerics
+    gamma, _tol_eff = _resolve_numerics(ctrl)
+    delta = gamma
     ops = ConeOps(cones)
 
     kb = KKTBuilder(N)
@@ -323,7 +325,7 @@ def socp_affine(A, b: np.ndarray, G, h: np.ndarray, c: np.ndarray,
     Ad, Atd = A.device_csr(), A.transpose().device_csr()
     Gd, Gtd = G.device_csr(), G.transpose().device_csr()
     bj, hj, cj = jnp.asarray(b), jnp.asarray(h), jnp.asarray(c)
-    tau, tol = ctrl.tau, ctrl.tol
+    tau, tol = ctrl.tau, _tol_eff
     nref = ctrl.refine_iters
     from .lp import _resolve_unroll
     unroll = _resolve_unroll(ctrl)

@@ -180,7 +180,32 @@ class SparseLDLFactorization:
         return total / 1e9
 
 
-# Distributed alias: the level-batched executor is a single SPMD program —
-# sharding the pool over a mesh (subtree-to-subteam) is the round-2 extension;
-# semantics match the reference's DistSparseLDLFactorization.
-DistSparseLDLFactorization = SparseLDLFactorization
+class DistSparseLDLFactorization(SparseLDLFactorization):
+    """Distributed facade (reference ``DistSparseLDLFactorization.cpp:53-268``):
+    accepts a :class:`~elemental_tpu.sparse.distsparse.DistSparseMatrix` and
+    runs the numeric factorization with each level's front batch sharded over
+    the matrix's mesh (subtree-to-subteam mapping, ``Process.hpp:150-275``).
+
+    The symbolic phase consumes the replicated host structure (the
+    reference's dist symbolic exchanges lower structs between subteams —
+    here nested dissection is a host plan reused across refactorizations);
+    the numeric executor is a single SPMD program: per-level vmapped front
+    kernels sharded by front, extend-add/assembly on the (replicated) flat
+    pool — the communication/compute tradeoff of that layout is measured by
+    ``dryrun_multichip`` (1-device vs full-mesh factor GFlop/s)."""
+
+    def initialize(self, A, hermitian: bool = False,
+                   perm: Optional[np.ndarray] = None, relax: int = 8,
+                   cutoff: int = 64) -> "DistSparseLDLFactorization":
+        from ..sparse.distsparse import DistSparseMatrix
+        if isinstance(A, DistSparseMatrix):
+            if self.mesh is None:
+                self.mesh = A.grid.mesh
+                if self.tree_axis is None:
+                    self.tree_axis = tuple(A.grid.mesh.axis_names)
+            assert A.host is not None, (
+                "DistSparseMatrix built without host structure: the "
+                "symbolic phase needs the replicated pattern")
+            A = A.host
+        return super().initialize(A, hermitian=hermitian, perm=perm,
+                                  relax=relax, cutoff=cutoff)

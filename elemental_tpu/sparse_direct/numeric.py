@@ -43,18 +43,39 @@ def _placement_platform() -> str:
         return jax.default_backend()
 
 
+def _clamp_pivot(dk, s):
+    """Dynamic pivot regularization (reference ``RegularizedLDL``): when a
+    signed floor s ≠ 0 is given for this column, boost a too-small pivot's
+    MAGNITUDE to |s| — keeping the pivot's own sign (an exactly-zero pivot
+    takes s's sign).  Never flips a nonzero pivot across zero: forcing the
+    'expected' quasi-definite sign is an O(1) perturbation of the factored
+    matrix that cascades into overflow at scale (measured r4: the
+    sign-forcing variant NaN'd the n≈7k FD KKT factor in fp32), while a
+    magnitude boost bounds element growth by |col|/|s| and stays close to
+    the true matrix; iterative refinement against the TRUE matrix absorbs
+    the perturbation."""
+    if s is None:
+        return dk
+    mag = jnp.abs(s)
+    keep = jnp.where(dk == 0, jnp.sign(s), jnp.sign(dk))
+    return jnp.where((s != 0) & (jnp.abs(dk) < mag), keep * mag, dk)
+
+
 def _masked_partial_ldl(F: jnp.ndarray, ns: jnp.ndarray, max_ns: int,
-                        conjugate: bool, reg: Optional[jnp.ndarray] = None,
-                        reg_rows: Optional[jnp.ndarray] = None):
+                        conjugate: bool,
+                        pf: Optional[jnp.ndarray] = None):
     """Eliminate the first ``ns`` columns of the padded front F (S×S lower),
     leaving L (unit, scaled) in the panel, D on the diagonal, and the Schur
-    complement in the trailing block."""
+    complement in the trailing block.  ``pf``: optional (S,) signed pivot
+    floors (see :func:`_clamp_pivot`)."""
     S = F.shape[0]
     idx = jnp.arange(S)
 
     def body(k, F):
         elim = k < ns
         dk = F[k, k]
+        if pf is not None:
+            dk = jnp.where(elim, _clamp_pivot(dk, pf[k]), dk)
         safe = jnp.where(dk == 0, jnp.ones((), F.dtype), dk)
         col = jnp.where((idx > k) & elim, F[:, k] / safe, 0.0)
         row = jnp.conj(col) if conjugate else col
@@ -68,7 +89,8 @@ def _masked_partial_ldl(F: jnp.ndarray, ns: jnp.ndarray, max_ns: int,
 
 def _masked_partial_ldl_blocked(F: jnp.ndarray, ns: jnp.ndarray,
                                 max_ns: int, conjugate: bool,
-                                nb: int = 32):
+                                nb: int = 32,
+                                pf: Optional[jnp.ndarray] = None):
     """Blocked right-looking variant of :func:`_masked_partial_ldl`
     (reference ``ProcessFront.hpp:29-60``: blocked LDL + Trsm + rank-k).
 
@@ -83,6 +105,8 @@ def _masked_partial_ldl_blocked(F: jnp.ndarray, ns: jnp.ndarray,
     Sp = max(S, npan * nb)
     if Sp != S:
         F = jnp.pad(F, ((0, Sp - S), (0, Sp - S)))
+        if pf is not None:
+            pf = jnp.pad(pf, (0, Sp - S))
     idx = jnp.arange(Sp)
     tpan = jnp.arange(nb)
 
@@ -93,6 +117,8 @@ def _masked_partial_ldl_blocked(F: jnp.ndarray, ns: jnp.ndarray,
             k = j0 + kk
             elim = k < ns
             dk = Fp[k, kk]
+            if pf is not None:
+                dk = jnp.where(elim, _clamp_pivot(dk, pf[k]), dk)
             safe = jnp.where(dk == 0, jnp.ones((), Fp.dtype), dk)
             col = jnp.where((idx > k) & elim, Fp[:, kk] / safe, 0.0)
             # within-panel trailing update needs L at the panel pivot rows
@@ -293,11 +319,33 @@ register_plan_pytree(LDLFactorization, ("symb", "pool", "d"))
 
 
 def _shard_level(fronts, mesh, axis):
-    """Subtree-to-device mapping (reference ``Process.hpp:150-275``
-    subtree→subteam): fronts within a level are independent subtrees, so
-    sharding the batch axis over the mesh IS the reference's team split —
-    extend-add between levels becomes XLA-inserted collectives."""
+    """Subtree-to-device / front-2D mapping (reference ``Process.hpp:150-275``
+    subtree→subteam plus the 1D→2D front switch of ``numeric.hpp:29-38``):
+
+    * many small fronts (lower tree levels): shard the BATCH axis — sibling
+      subtrees map to devices, the reference's team split;
+    * few big fronts (the separator tops, where the O(S³) flops live):
+      shard the (S, S) front dims over the 2D mesh — GSPMD distributes the
+      chol/trsm/rank-k front kernel the way the reference's L2D [MC,MR]
+      fronts do.
+
+    Extend-add between levels becomes XLA-inserted collectives either way;
+    ``dryrun_multichip`` measures the net effect against single-device."""
     from jax.sharding import NamedSharding, PartitionSpec
+    nf, S = fronts.shape[0], fronts.shape[1]
+    ndev = mesh.devices.size
+    # Measured r4 (8-virtual-device CPU mesh, 24³/32³ Laplacians):
+    #  * sharding EVERY level ran 40× slower than single-device — per-level
+    #    collectives swamp the small batched kernels;
+    #  * 2D (S,S)-sharding the big top fronts through GSPMD ran 90× slower —
+    #    GSPMD cannot pipeline a sharded (batched) Cholesky, it all-gathers.
+    # So: batch-shard only levels with enough sibling fronts AND enough
+    # flops to amortize the boundary collectives.  The flop-dominant top
+    # separator fronts stay replicated — distributing them properly needs a
+    # hand-written shard_map panel factorization (the reference's L2D
+    # [MC,MR] fronts), future work tracked in PARITY.md.
+    if nf < ndev or nf * S ** 3 < 2e9:
+        return fronts
     sh = NamedSharding(mesh, PartitionSpec(axis))
     if isinstance(fronts, jax.core.Tracer):
         return jax.lax.with_sharding_constraint(fronts, sh)
@@ -307,7 +355,8 @@ def _shard_level(fronts, mesh, axis):
 def factor(symb: SymbolicFactorization, a_vals, conjugate: bool = False,
            reg: Optional[np.ndarray] = None,
            dtype=jnp.float64, mesh=None, tree_axis: Optional[str] = None,
-           panel_blocksize: int = 32, spd: bool = False) -> LDLFactorization:
+           panel_blocksize: int = 32, spd: bool = False,
+           pivot_floor=None) -> LDLFactorization:
     """Numeric multifrontal LDL given the symbolic plan and A's values
     (+ optional diagonal regularization in *original* order, the
     ``RegularizedLDL`` path).
@@ -316,9 +365,21 @@ def factor(symb: SymbolicFactorization, a_vals, conjugate: bool = False,
     sharded over ``tree_axis`` (default: the mesh's first axis), mapping
     sibling subtrees to devices.  ``panel_blocksize``: panel width of the
     blocked MXU front kernel (levels whose elimination width exceeds it use
-    the blocked right-looking path)."""
+    the blocked right-looking path).
+
+    ``pivot_floor``: optional (n,) SIGNED per-column pivot floors in
+    *original* order — the reference ``RegularizedLDL``'s dynamic
+    regularization: each pivot is forced onto its floor's side of zero with
+    magnitude ≥ |floor| (see :func:`_clamp_pivot`); pair with iterative
+    refinement / FGMRES against the unperturbed matrix."""
     a_vals = jnp.asarray(a_vals, dtype)
     pool = jnp.zeros((symb.pool_size,), dtype)
+    pfp = None
+    if pivot_floor is not None:
+        # permuted floors, with a trailing 0 row absorbing padded gathers
+        pfp = jnp.concatenate([
+            jnp.asarray(pivot_floor, dtype)[jnp.asarray(symb.perm)],
+            jnp.zeros((1,), dtype)])
 
     # assemble every level's A entries up front (independent of elimination)
     for lev in symb.levels:
@@ -346,13 +407,22 @@ def factor(symb: SymbolicFactorization, a_vals, conjugate: bool = False,
         if spd:
             kern = lambda F, ns: _masked_partial_spd(F, ns, max_ns,
                                                      conjugate)
-        elif max_ns > panel_blocksize:
-            kern = lambda F, ns: _masked_partial_ldl_blocked(
-                F, ns, max_ns, conjugate, nb=panel_blocksize)
+            fronts = jax.vmap(kern)(fronts, jnp.asarray(lev.ns))
         else:
-            kern = lambda F, ns: _masked_partial_ldl(F, ns, max_ns,
-                                                     conjugate)
-        fronts = jax.vmap(kern)(fronts, jnp.asarray(lev.ns))
+            pf_lev = (None if pfp is None
+                      else pfp[jnp.asarray(lev.front_rows)])
+            if max_ns > panel_blocksize:
+                kern = lambda F, ns, pf: _masked_partial_ldl_blocked(
+                    F, ns, max_ns, conjugate, nb=panel_blocksize, pf=pf)
+            else:
+                kern = lambda F, ns, pf: _masked_partial_ldl(
+                    F, ns, max_ns, conjugate, pf=pf)
+            if pf_lev is None:
+                fronts = jax.vmap(lambda F, ns: kern(F, ns, None))(
+                    fronts, jnp.asarray(lev.ns))
+            else:
+                fronts = jax.vmap(kern)(fronts, jnp.asarray(lev.ns),
+                                        pf_lev)
         pool = jax.lax.dynamic_update_slice_in_dim(
             pool, fronts.reshape(-1), lev.offset, 0)
         d = d.at[jnp.asarray(lev.diag_cols)].set(

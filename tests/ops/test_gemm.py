@@ -114,3 +114,34 @@ def test_choose_algorithm_covers_all_variants(grid8):
     # A dominant / B dominant keep the big operand in place
     assert choose_algorithm(64, 512, 4096, grid8) == "stationary_b"
     assert choose_algorithm(512, 64, 4096, grid8) == "stationary_a"
+
+
+@pytest.mark.parametrize("alg", ["stationary_a", "stationary_b"])
+def test_summa_no_full_operand_allgather(grid8, alg):
+    """The big-operand panel schemes must never replicate an operand over
+    BOTH mesh axes (r3's stationary_a/b gathered the non-stationary operand
+    to full size on every rank — O(k·n) memory).  Assert no all-gather in
+    the compiled HLO produces a full-m×k or full-k×n array."""
+    m, k, n = 64, 128, 96
+    a = _rand(m, k)
+    b = _rand(k, n)
+    mesh = grid8.mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = NamedSharding(mesh, P("mc", "mr"))
+    aj = jax.device_put(jnp.asarray(a), sh)
+    bj = jax.device_put(jnp.asarray(b), sh)
+
+    def f(aj, bj):
+        return summa.gemm_summa(aj, bj, grid8, alg=alg)
+
+    txt = jax.jit(f).lower(aj, bj).compile().as_text()
+    import re
+    full = {(m, k), (k, n)}          # per-shard result = global size ⇒ bad
+    for line in txt.splitlines():
+        if "all-gather" not in line:
+            continue
+        for r, c in re.findall(r"f32\[(\d+),(\d+)\]", line):
+            assert (int(r), int(c)) not in full, line
+    # and numerics still match
+    c_out = np.asarray(f(aj, bj))
+    np.testing.assert_allclose(c_out, a @ b, rtol=1e-4, atol=1e-4)

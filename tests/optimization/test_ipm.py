@@ -238,3 +238,30 @@ def test_robust_least_squares():
                       options={"xatol": 1e-10, "fatol": 1e-12,
                                "maxiter": 20000})
     assert f(x) <= ref.fun + 1e-5
+
+
+def test_lp_direct_large_path_matches_fused(monkeypatch):
+    """The python-orchestrated at-scale step (one compiled factor + one
+    compiled refined solve, lp.py ``large`` branch) must reproduce the
+    fused-jit path."""
+    from elemental_tpu.optimization import lp as lpmod
+    A, b, c = _rand_lp(12, 30)
+    ref = lp_direct(A, b, c, LPCtrl(tol=1e-9))
+    monkeypatch.setattr(lpmod, "LARGE_FUSED_N", 1)   # force the large path
+    res = lp_direct(A, b, c, LPCtrl(tol=1e-9))
+    assert res.converged
+    np.testing.assert_allclose(res.objective, ref.objective, rtol=1e-7)
+    np.testing.assert_allclose(res.x, ref.x, atol=1e-6)
+
+
+def test_lp_direct_large_path_ipf(monkeypatch):
+    from elemental_tpu.optimization import lp as lpmod
+    A, b, c = _rand_lp(10, 24)
+    monkeypatch.setattr(lpmod, "LARGE_FUSED_N", 1)
+    res = lp_direct(A, b, c, LPCtrl(tol=1e-8, approach=Approach.IPF,
+                                    max_iters=300))
+    assert res.converged
+    import scipy.optimize as so
+    refo = so.linprog(c, A_eq=A.to_dense(), b_eq=b, bounds=(0, None),
+                      method="highs")
+    np.testing.assert_allclose(res.objective, refo.fun, rtol=1e-6)
