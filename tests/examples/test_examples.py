@@ -13,7 +13,11 @@ EXDIR = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..",
 DRIVERS = ["bp", "bpdn", "lav", "cp", "ds", "en", "nnls", "svm", "tv",
            "lp_affine", "qp_direct_ex", "socp_trivial",
            "long_only_portfolio", "least_squares", "linear_solve", "eig",
-           "fox_li", "different_grids", "sparse_multiply"]
+           "fox_li", "different_grids", "sparse_multiply",
+           # r4 ports (VERDICT r3 #10)
+           "glm", "lse", "tikhonov_ex", "rls", "soc_atom",
+           "pseudospectra_portrait", "control_ex", "triang_eig_ex",
+           "pnorm", "symmetric_solve_ex", "inv_pos", "simple_solve"]
 
 
 @pytest.mark.parametrize("name", DRIVERS)
