@@ -2,26 +2,31 @@
 matrix (the dispatch tier of the reference's sparse ``Multiply``,
 ``tests/blas_like/Multiply.cpp:19-46``, re-designed around TPU constraints).
 
-Measured reality on v5e (this round, readback-fenced timings — every number
-here is reproduced by ``bench.py``):
+Measured reality on v5 lite (r4, readback-fenced timings — the stencil
+number is re-captured every round by ``bench.py``, the rest by
+``experiments/unstructured_spmv.py``; EXPERIMENTS.md holds the full log):
 
-* ``stencil`` (halo-panel Pallas kernel): ~160 Gnnz/s on the 1024² 2-D
-  Laplacian — the speed-of-light tier (~4 B/nnz streamed).
+* ``stencil`` (halo-panel Pallas kernel): ~114-126 Gnnz/s captured on the
+  1024² 2-D Laplacian ≈ 0.86× the 146 Gnnz/s HBM speed of light at its
+  5.6 B/nnz stream.  (An earlier "~160" claim exceeded the physical bound
+  — it was a pre-readback-fence timing artifact; the bench now rejects
+  any sample above SoL.)
 * ``stencil_rcm``: the same kernel after RCM reordering for scrambled
   banded matrices.
 * ``gather_csr`` (Pallas windowed gather + XLA ``segment_sum`` combine):
-  the gather·multiply half runs at ~42 Gnnz/s, but the row-combine must go
-  through XLA's scatter, which is SCALAR on TPU (~0.15 Gelem/s), so the
-  END-TO-END rate is combine-bound at ~0.15 Gnnz/s — about 2.4× the pure
-  XLA path, and honestly SLOW.  ``plan.slow`` is True so callers can warn
-  or reroute (e.g. prefer the transpose formulation, a stencil-friendly
-  reordering, or restructure around SpMM).
+  the gather·multiply half runs at 27.3 Gnnz/s, but the row-combine must
+  go through XLA's scatter, which is SCALAR on TPU (0.116 Gelem/s, sorted
+  or not), so the END-TO-END rate is combine-bound at ~0.15 Gnnz/s —
+  honestly SLOW.  ``plan.slow`` is True and ``plan_spmv`` warns once.
 * ``csr`` (pure XLA gather+segment_sum): ~0.06 Gnnz/s — correctness
   fallback only; also ``slow``.
 
 There is no fast general unstructured path on this hardware generation:
-Mosaic exposes no vector scatter and only intra-vreg gathers, so the
-column-sorted→row-sorted bridge permutation has no cheap implementation.
+no vector scatter, intra-vreg-only gathers, and 128-lane placement
+granularity put every column-sorted→row-sorted bridge design at
+single-digit Gnnz/s — the measured refutation (including the one-hot MXU
+combine the r3 verdict proposed, 5.2 Gnnz/s isolated at bf16-level
+precision but unreachable end-to-end) is in EXPERIMENTS.md.
 
 Dispatch order (``plan_spmv``): stencil → stencil_rcm → gather_csr
 (→ csr when the Pallas tier is disabled).

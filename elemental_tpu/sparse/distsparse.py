@@ -302,12 +302,47 @@ class DistGraph(Graph):
 class DistMap:
     """1D-distributed index map (reference ``DistMap``,
     ``include/El/core/DistMap/decl.hpp:28-40`` — reordering permutations for
-    the sparse solvers); ``translate`` is the batched lookup."""
+    the sparse solvers); ``translate`` is the batched lookup
+    (``DistMap::Translate(localInds)``).
+
+    The map itself can live sharded over a grid's flat axis
+    (:meth:`device`); ``translate_device`` then performs the distributed
+    batch lookup as one jittable gather — the reference's
+    owner-rank-exchange Translate maps to XLA's sharded gather (the
+    collective plan is the compiler's)."""
 
     map_: np.ndarray
+    _device_map = None          # sharded jax.Array cache (not a pytree leaf)
 
     def translate(self, indices) -> np.ndarray:
         return self.map_[np.asarray(indices)]
+
+    def device(self, grid=None) -> "DistMap":
+        """Shard the map over the grid's flat mesh axis (reference 1D
+        STAR,VC distribution of the map entries)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..core.grid import Grid
+        g = grid or Grid.default()
+        n = self.map_.shape[0]
+        p = g.size
+        pad = (-n) % p
+        mp = np.pad(self.map_, (0, pad))
+        sh = NamedSharding(g.mesh, P(tuple(g.mesh.axis_names)))
+        dm = DistMap(self.map_)
+        dm._device_map = jax.device_put(mp, sh)
+        return dm
+
+    def translate_device(self, indices):
+        """Distributed batched lookup: ``indices`` may be any (sharded or
+        replicated) device array; returns map[indices] with XLA planning
+        the cross-shard exchange (reference ``DistMap::Translate``'s
+        owner-exchange, compiler-scheduled)."""
+        import jax.numpy as jnp
+        src = self._device_map
+        if src is None:
+            src = jnp.asarray(self.map_)
+        return jnp.take(src, jnp.asarray(indices), axis=0)
 
     def inverse(self) -> "DistMap":
         inv = np.empty_like(self.map_)

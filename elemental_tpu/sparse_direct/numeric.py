@@ -230,6 +230,14 @@ class LDLFactorization:
                                            nf * S * S, 0)
         return seg.reshape(nf, S, S)
 
+    # XLA's batched triangular_solve lowers via
+    # InvertDiagBlocksLowerTriangular, which stages the batch's diagonal
+    # blocks in VMEM with LANE-PADDED layout (S→⌈S/128⌉·128) — past a few
+    # MB it overflows scoped vmem (measured r4 at nf=4019, S=88 on v5e,
+    # and again at nf=270 until padding was accounted).  Bigger level
+    # batches are processed in lax.map chunks sized in PADDED elements.
+    TRI_SOLVE_CHUNK_ELEMS = 1 << 20
+
     def _level_solve(self, xe, lev, forward: bool):
         nf = lev.sn_ids.shape[0]
         S = lev.front_size
@@ -241,10 +249,30 @@ class LDLFactorization:
                        fronts, 0.0) + eye[None]
         rows = jnp.asarray(lev.front_rows)                 # (nf, S)
         xf = xe[rows]                                      # (nf, S, k)
-        w = jax.lax.linalg.triangular_solve(
-            lp, xf, left_side=True, lower=True, unit_diagonal=True,
-            transpose_a=not forward, conjugate_a=(not forward)
-            and self.conjugate)
+
+        def tri(lp, xf):
+            return jax.lax.linalg.triangular_solve(
+                lp, xf, left_side=True, lower=True, unit_diagonal=True,
+                transpose_a=not forward, conjugate_a=(not forward)
+                and self.conjugate)
+
+        pS = S * (-(-S // 128) * 128)          # lane-padded block footprint
+        if nf * pS <= self.TRI_SOLVE_CHUNK_ELEMS:
+            w = tri(lp, xf)
+        else:
+            c = max(1, self.TRI_SOLVE_CHUNK_ELEMS // pS)
+            pad = (-nf) % c
+            lp_p = jnp.pad(lp, ((0, pad), (0, 0), (0, 0)))
+            # padded fronts get identity so the solve is well-defined
+            if pad:
+                lp_p = lp_p.at[nf:].add(eye[None])
+            xf_p = jnp.pad(xf, ((0, pad), (0, 0), (0, 0)))
+            k = lp_p.shape[0] // c
+            w = jax.lax.map(
+                lambda ab: tri(*ab),
+                (lp_p.reshape(k, c, S, S),
+                 xf_p.reshape(k, c, S, xf.shape[-1])))
+            w = w.reshape(-1, S, xf.shape[-1])[:nf]
         delta = w - xf
         return xe.at[rows.reshape(-1)].add(
             delta.reshape(-1, delta.shape[-1]))

@@ -311,3 +311,22 @@ def test_dist_spgemm_no_full_gather(grid8):
     bad = [ln for ln in txt.splitlines()
            if "all-gather" in ln and f"f64[{nnzb}" in ln.replace(" ", "")]
     assert not bad, bad[:2]
+
+
+def test_distmap_translate_device(grid8):
+    """DistMap.translate_device: sharded batched lookup == host translate
+    (reference DistMap::Translate, decl.hpp:28-40)."""
+    import jax
+    import jax.numpy as jnp
+    from elemental_tpu.sparse.distsparse import DistMap
+    rng = np.random.default_rng(3)
+    n = 103
+    m = DistMap(rng.permutation(n))
+    dm = m.device(grid8)
+    idx = rng.integers(0, n, 57)
+    out = np.asarray(jax.jit(lambda i: dm.translate_device(i))(
+        jnp.asarray(idx)))
+    np.testing.assert_array_equal(out, m.translate(idx))
+    # inverse round trip
+    np.testing.assert_array_equal(
+        m.inverse().translate(m.translate(np.arange(n))), np.arange(n))
