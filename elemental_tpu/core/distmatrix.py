@@ -157,6 +157,52 @@ class DistMatrix:
         return DistMatrix(data, self.coldist, self.rowdist, self.grid,
                           self.root)
 
+    # -- remote entrywise updates (reference AbstractDistMatrix
+    #    QueueUpdate/ProcessQueues/QueuePull, AbstractDistMatrix.hpp:162-171)
+    def queue_update(self, i: int, j: int, value) -> None:
+        """Queue a remote entry update from any caller; applied (summed,
+        COO semantics) by :meth:`process_queues`.  TPU-native shape: the
+        queue lives on host and drains as ONE sharded scatter-add — the
+        reference's rank-to-owner exchange is the compiler's to plan."""
+        if not hasattr(self, "_queue"):
+            object.__setattr__(self, "_queue", [])
+        self._queue.append((int(i), int(j), value))
+
+    def queue_pull(self, i: int, j: int) -> None:
+        """Queue a remote entry READ (reference QueuePull); drained by
+        :meth:`process_pull_queue`."""
+        if not hasattr(self, "_pull_queue"):
+            object.__setattr__(self, "_pull_queue", [])
+        self._pull_queue.append((int(i), int(j)))
+
+    def process_queues(self) -> "DistMatrix":
+        """Drain queued updates into a NEW DistMatrix (arrays are
+        immutable — the reference mutates in place; the drained matrix
+        keeps grid/dist/sharding)."""
+        q = getattr(self, "_queue", [])
+        if not q:
+            return self
+        import numpy as _np
+        ii = jnp.asarray(_np.asarray([e[0] for e in q]))
+        jj = jnp.asarray(_np.asarray([e[1] for e in q]))
+        vv = jnp.asarray(_np.asarray([e[2] for e in q]), self.data.dtype)
+        new = self.data.at[ii, jj].add(vv)
+        object.__setattr__(self, "_queue", [])
+        return DistMatrix(new, self.coldist, self.rowdist, self.grid,
+                          self.root)
+
+    def process_pull_queue(self):
+        """Drain queued reads; returns values in queue order (host)."""
+        import numpy as _np
+        q = getattr(self, "_pull_queue", [])
+        if not q:
+            return _np.empty((0,))
+        ii = jnp.asarray(_np.asarray([e[0] for e in q]))
+        jj = jnp.asarray(_np.asarray([e[1] for e in q]))
+        out = _np.asarray(self.data[ii, jj])
+        object.__setattr__(self, "_pull_queue", [])
+        return out
+
     # -- numpy interop -----------------------------------------------------
     def to_numpy(self):
         import numpy as np

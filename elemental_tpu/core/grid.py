@@ -56,10 +56,21 @@ class Grid:
     _default: Optional["Grid"] = None
 
     def __init__(self, devices: Optional[Sequence] = None,
-                 height: Optional[int] = None):
+                 height: Optional[int] = None,
+                 viewers: Optional[Sequence] = None):
+        # viewers/owners construction (reference ``Grid(viewers, owners,
+        # height)``, ``include/El/core/Grid.hpp:59``): ``devices`` are the
+        # OWNERS — the mesh spans only them; ``viewers`` are devices that
+        # participate in the program but hold no shard of this grid's
+        # data.  In JAX's single-controller model every process sees all
+        # devices, so a viewing rank is simply a device outside the mesh:
+        # data movement in/out of the sub-grid goes through
+        # ``translate_between_grids``/``device_put``, the analog of the
+        # reference's viewing-comm Translate.
         if devices is None:
             devices = jax.devices()
         devices = list(devices)
+        self._viewers = tuple(viewers) if viewers is not None else ()
         size = len(devices)
         if height is None:
             height = _grid_height(size)
@@ -87,6 +98,23 @@ class Grid:
     @property
     def devices(self):
         return self.mesh.devices
+
+    @property
+    def viewers(self):
+        """Devices viewing (not owning) this grid (reference
+        ``Grid::InGrid``'s false case / viewing comm members)."""
+        return self._viewers
+
+    def in_grid(self, device) -> bool:
+        """Reference ``Grid::InGrid``: does ``device`` own a shard?"""
+        return any(d == device for d in self.mesh.devices.ravel())
+
+    def subgrid(self, n: int, height: Optional[int] = None) -> "Grid":
+        """Owner sub-grid over the first n devices; the rest become
+        viewers (reference multi-grid ensembles,
+        ``tests/core/DifferentGrids.cpp:36-74``)."""
+        devs = list(self.mesh.devices.ravel())
+        return Grid(devices=devs[:n], height=height, viewers=devs[n:])
 
     # -- shardings --------------------------------------------------------
     def sharding(self, coldist: Dist, rowdist: Dist) -> NamedSharding:
