@@ -17,7 +17,9 @@ DRIVERS = ["bp", "bpdn", "lav", "cp", "ds", "en", "nnls", "svm", "tv",
            # r4 ports (VERDICT r3 #10)
            "glm", "lse", "tikhonov_ex", "rls", "soc_atom",
            "pseudospectra_portrait", "control_ex", "triang_eig_ex",
-           "pnorm", "symmetric_solve_ex", "inv_pos", "simple_solve"]
+           "pnorm", "symmetric_solve_ex", "inv_pos", "simple_solve",
+           "remote_update", "lattice_tools", "gepp_growth",
+           "product_lanczos_ex"]
 
 
 @pytest.mark.parametrize("name", DRIVERS)
