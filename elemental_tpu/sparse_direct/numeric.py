@@ -380,6 +380,22 @@ def _shard_level(fronts, mesh, axis):
     return jax.device_put(fronts, sh)
 
 
+# Factor-rate note (measured r4 on v5 lite, 24^3 Laplacian): the level
+# loop's EXTEND-ADD (pool.at[child_dst].add(pool[child_src])) accounts for
+# 84 % of factor wall time — 6.9 M moved elements at ~0.03 Gelem/s because
+# XLA emits SCALAR code for both the gather and the scatter even with
+# argument-passed indices (the same emitter measured at 0.116 Gelem/s in
+# EXPERIMENTS.md E1).  Without it the batched MXU front kernels alone run
+# this factorization at ~25 GF/s vs the 4.2 GF/s end-to-end.  The r5 fix
+# is a Pallas extend-add: child-Schur ROWS are contiguous in the pool and
+# their parent (row, column) maps are monotone (struct subsets are
+# sorted), so each parent-row chunk is ONE windowed lane-gather from one
+# contiguous child-row slice — the plan is per-(target-tile, source-
+# window) with PrefetchScalarGridSpec index maps staging source segments
+# block-wise; estimated 30-60 Gelem/s (≈1000×), bounded by the per-level
+# DMA scheduling of small leaf fronts.
+
+
 def factor(symb: SymbolicFactorization, a_vals, conjugate: bool = False,
            reg: Optional[np.ndarray] = None,
            dtype=jnp.float64, mesh=None, tree_axis: Optional[str] = None,
