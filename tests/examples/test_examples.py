@@ -19,7 +19,7 @@ DRIVERS = ["bp", "bpdn", "lav", "cp", "ds", "en", "nnls", "svm", "tv",
            "pseudospectra_portrait", "control_ex", "triang_eig_ex",
            "pnorm", "symmetric_solve_ex", "inv_pos", "simple_solve",
            "remote_update", "lattice_tools", "gepp_growth",
-           "product_lanczos_ex"]
+           "product_lanczos_ex", "matrix_zoo", "dynamic_reg_counter"]
 
 
 @pytest.mark.parametrize("name", DRIVERS)
