@@ -209,11 +209,17 @@ def stage_gemm():
     _, peak_bf16 = detect_bw()
     out = {}
     errors = {}
-    # fp32 matmuls on TPU lower to ≥3 bf16 MXU passes under
-    # precision='highest' — the physical bound for that scheme is peak/3
+    # fp32 matmuls under precision='highest' lower to the SIX-pass bf16
+    # scheme on TPU (each operand split into 3 bf16 terms; the x_hi·y_hi,
+    # x_hi·y_lo, x_lo·y_hi, x_hi·y_mid, x_mid·y_hi, x_mid·y_mid products
+    # are needed for full f32 accuracy — 'high' is the 3-pass variant) —
+    # the physical bound for that scheme is peak/6.  r4 published "fp32
+    # MFU 0.476" against a peak/3 bound; the measured 31.2 TFLOPs is 0.95
+    # of the correct 6-pass bound, i.e. the kernel was already at speed
+    # of light and the bound was wrong (ADVICE r4; VERDICT r4 weak #4).
     for name, dtype, peak, prec in [
             ("bf16", jnp.bfloat16, peak_bf16, "default"),
-            ("fp32", jnp.float32, peak_bf16 / 3, "highest")]:
+            ("fp32", jnp.float32, peak_bf16 / 6, "highest")]:
         m = 4096
         a = jnp.asarray(np.random.default_rng(0).standard_normal(
             (m, m)).astype(np.float32)).astype(dtype)
@@ -281,11 +287,11 @@ def stage_sparse_ldl():
     reg = jnp.zeros(A.height, f._dtype)
 
     def pipeline(reps):
-        f._factor_jit(f.symb, vals, reg)   # warm
+        f._run_factor(vals, reg)   # warm
         d = None
         t0 = time.perf_counter()
         for _ in range(reps):
-            pool, d = f._factor_jit(f.symb, vals, reg)
+            pool, d = f._run_factor(vals, reg)
         float(jnp.sum(d))
         return time.perf_counter() - t0
 

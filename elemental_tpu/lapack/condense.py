@@ -468,7 +468,6 @@ def _hessenberg_blocked(a: jnp.ndarray, nb: int = 32) -> Hess:
             w = jax.lax.fori_loop(0, nb, ap_left, t)
 
             # reflector eliminating rows > k+1 of the implicit column
-            x = jnp.where((rows > k + 1) | (rows == k + 1), w, 0.0)
             x = jnp.where(rows > k, w, 0.0)
             normx = jnp.linalg.norm(x)
             pivot = x[jnp.minimum(k + 1, n - 1)]

@@ -92,12 +92,34 @@ class KKTBuilder:
             from ..sparse_direct.ordering import nested_dissection
             perm = nested_dissection(pattern, cutoff=cutoff)
         symb = analyze(pattern, perm=perm, relax=relax).device()
+        ea_plans, ea_interp = _build_kkt_ea_plans(symb)
         return KKTSystem(N, pattern, symb,
                          jnp.asarray(base, jdtype),
                          [jnp.asarray(p.astype(np.int32)) for p in dyn_pos],
                          jnp.asarray(rows.astype(np.int32)),
                          jnp.asarray(cols.astype(np.int32)),
-                         jdtype)
+                         jdtype, ea_plans, ea_interp)
+
+
+def _build_kkt_ea_plans(symb):
+    """Pallas extend-add plans for the per-iteration KKT refactorization
+    (same policy as the sparse-direct facade: TPU auto, ``ELEMENTAL_EA``
+    override)."""
+    import os
+    mode = os.environ.get("ELEMENTAL_EA", "auto")
+    if mode == "off":
+        return None, False
+    plat = _placement_platform()
+    if mode != "on" and plat != "tpu":
+        return None, False
+    from ..core.policy import x64_enabled
+    if plat == "tpu" and x64_enabled():
+        return None, False              # f64 KKT — Mosaic has no 64-bit
+    from ..sparse_direct.ea_plan import build_ea_plans, plans_device
+    plans = build_ea_plans(symb)
+    if plans is None:
+        return None, False
+    return plans_device(plans), plat != "tpu"
 
 
 @dataclasses.dataclass
@@ -113,6 +135,8 @@ class KKTSystem:
     csr_rows: jnp.ndarray            # (nnz,) int32 — matvec row ids
     csr_cols: jnp.ndarray            # (nnz,) int32
     jdtype: Optional[object] = None
+    ea_plans: Optional[object] = None    # Pallas extend-add plans (or None)
+    ea_interpret: bool = False
 
     @property
     def nnz(self) -> int:
@@ -158,7 +182,8 @@ class KKTSystem:
         else:
             v, scale = vals, jnp.ones(self.N, vals.dtype)
         num = _mf_factor(self.symb, v, dtype=v.dtype, spd=spd,
-                         pivot_floor=pivot_floor)
+                         pivot_floor=pivot_floor, ea_plans=self.ea_plans,
+                         ea_interpret=self.ea_interpret)
         return KKTFactor(self, vals, num.pool, num.d, scale)
 
     def matvec(self, vals: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -233,11 +258,13 @@ class KKTFactor:
         gracefully (the result is never worse than the plain factored
         solve, which is recovered as β·Z[0] — no separate solve).
 
-        The small least-squares min‖H·y − β·e₁‖ is solved via
-        ridge-stabilized normal equations: ``jnp.linalg.lstsq`` aborts the
-        XLA TPU compiler inside TransposeFolding when embedded in this
-        graph (SIGABRT ``Check failed: buffer != nullptr``, measured r4 at
-        N≈7k), and k ≤ ~8 keeps the normal equations benign."""
+        The small least-squares min‖H·y − β·e₁‖ is solved by
+        :func:`_hessenberg_lstsq` (k unrolled Givens rotations +
+        back-substitution): ``jnp.linalg.lstsq`` aborts the XLA TPU
+        compiler inside TransposeFolding when embedded in this graph
+        (SIGABRT ``Check failed: buffer != nullptr``, measured r4 at
+        N≈7k), and normal equations square the conditioning, which an f32
+        subsolve then cannot survive (also measured r4)."""
         def K0(x):
             kx = self.sys.matvec(self.vals, x)
             if reg_diag is not None:
@@ -295,5 +322,5 @@ class KKTFactor:
 from ..core.statics import register_plan_pytree  # noqa: E402
 
 register_plan_pytree(KKTSystem, ("symb", "base_vals", "dyn_pos",
-                                 "csr_rows", "csr_cols"))
+                                 "csr_rows", "csr_cols", "ea_plans"))
 register_plan_pytree(KKTFactor, ("sys", "vals", "pool", "d", "scale"))

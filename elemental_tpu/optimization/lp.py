@@ -38,7 +38,11 @@ def _resolve_numerics(ctrl):
     pivot blowups (NaN at the first iteration, measured r4) and an
     unreachable stopping test.  Under f32 the regularization floor is
     ~√eps·0.1 and the tolerance floor ~50·eps (core/policy philosophy);
-    under x64 the classical values pass through unchanged."""
+    under x64 the classical values pass through unchanged.
+
+    When the caller's tolerance is clamped, a warning is emitted and the
+    effective value is reported back via ``LPResult.tol_effective`` —
+    ``converged`` always refers to the EFFECTIVE tolerance (ADVICE r4)."""
     from ..core.policy import default_real_dtype
     eps = float(jnp.finfo(default_real_dtype()).eps)
     reg = ctrl.reg
@@ -48,6 +52,14 @@ def _resolve_numerics(ctrl):
     # iterate converges smoothly to gap ≈ 2e-4 then hits fp noise; 2000·eps
     # declares convergence there instead of running into the breakdown guard
     tol = max(ctrl.tol, 2000.0 * eps)
+    if tol > ctrl.tol:
+        import warnings
+        warnings.warn(
+            f"LP tolerance {ctrl.tol:g} is below the working-precision "
+            f"floor; clamped to {tol:g} (eps={eps:g}).  LPResult.converged "
+            f"refers to the clamped tolerance (LPResult.tol_effective); "
+            f"enable x64 or use the DD-refined path for tighter targets.",
+            stacklevel=3)
     return reg, tol
 
 
@@ -96,8 +108,10 @@ class LPResult:
     z: np.ndarray
     objective: float
     iterations: int
-    converged: bool
+    converged: bool                 # w.r.t. tol_effective, NOT ctrl.tol
     s: Optional[np.ndarray] = None  # affine-form slack
+    tol_effective: Optional[float] = None  # the tolerance actually tested
+    metric: Optional[float] = None  # achieved max(rb/‖b‖, rc/‖c‖, gap)
 
 
 def sparse_ruiz(A: SparseMatrix, iters: int = 10
@@ -425,10 +439,30 @@ def lp_direct(A: SparseMatrix, b: np.ndarray, c: np.ndarray,
             break
         if ctrl.verbose:
             print(f"  it {it}: rb={rbn:.2e} rc={rcn:.2e} gap={gap:.2e}")
+    else:
+        # max_iters exhausted without convergence or breakdown: the last
+        # iterate is unevaluated and fp32 trajectories degrade after
+        # stagnating — return the best tracked iterate when it beats the
+        # final one (ADVICE r4)
+        if best_xyz is not None:
+            fin = _lp_metric(Ad, Atd, bj, cj, x, y, z, bnorm, cnorm)
+            if not np.isfinite(fin) or best_metric < fin:
+                x, y, z = best_xyz
 
+    achieved = _lp_metric(Ad, Atd, bj, cj, jnp.asarray(x), jnp.asarray(y),
+                          jnp.asarray(z), bnorm, cnorm)
     x, y, z = np.asarray(x), np.asarray(y), np.asarray(z)
     obj = float(c @ x)  # ĉᵀx̂ = cᵀx: the objective is scaling-invariant
-    return LPResult(x / s, y / r, z * s, obj, it, converged)
+    return LPResult(x / s, y / r, z * s, obj, it, converged,
+                    tol_effective=tol, metric=achieved)
+
+
+def _lp_metric(Ad, Atd, bj, cj, x, y, z, bnorm, cnorm) -> float:
+    """max(‖b−Ax‖/‖b‖, ‖c−Aᵀy−z‖/‖c‖, relgap) of an iterate (device)."""
+    rb = float(jnp.linalg.norm(bj - Ad.matvec(x)))
+    rc = float(jnp.linalg.norm(cj - Atd.matvec(y) - z))
+    gap = float(jnp.abs(cj @ x - bj @ y) / (1 + jnp.abs(cj @ x)))
+    return max(rb / bnorm, rc / cnorm, gap)
 
 
 def lp_affine(A: SparseMatrix, b: np.ndarray, G: SparseMatrix,
@@ -544,7 +578,8 @@ def lp_affine(A: SparseMatrix, b: np.ndarray, G: SparseMatrix,
             print(f"  it {it}: mu={float(mu):.3e} gap={float(gap):.3e}")
 
     x, y, s, z = (np.asarray(v) for v in (x, y, s, z))
-    return LPResult(x, y, z, float(c @ x), it, converged, s=s)
+    return LPResult(x, y, z, float(c @ x), it, converged, s=s,
+                    tol_effective=tol)
 
 
 # --------------------------------------------------------------------------

@@ -45,13 +45,18 @@ class SparseLDLFactorization:
         self._dtype = default_real_dtype()
         self._factor_jit = None
         self._solve_jit = {}
+        self._ea_plans = None
+        self._ea_interpret = False
 
     # -- lifecycle ----------------------------------------------------------
     def initialize(self, A: SparseMatrix, hermitian: bool = False,
                    perm: Optional[np.ndarray] = None, relax: int = 8,
-                   cutoff: int = 64) -> "SparseLDLFactorization":
+                   cutoff: int = 64,
+                   size_bucket: float = 0.0) -> "SparseLDLFactorization":
         """Ordering + symbolic analysis (reference ``Initialize`` →
-        ``NestedDissection`` + ``Analysis``)."""
+        ``NestedDissection`` + ``Analysis``).  ``size_bucket``: see
+        :func:`..sparse_direct.symbolic.analyze` — essential at scale
+        (pool memory), off by default (more level plans = more compile)."""
         self.A = A
         self.hermitian = hermitian
         # platform-aware working dtype (core/policy.py): f64 under x64,
@@ -66,7 +71,8 @@ class SparseLDLFactorization:
         # .device(): plan index arrays become device arrays passed to the
         # jitted factor/solve as ARGUMENTS (constants hit the TPU scalar
         # gather path; see core/statics.py)
-        self.symb = analyze(A, perm=perm, relax=relax).device()
+        self.symb = analyze(A, perm=perm, relax=relax,
+                            size_bucket=size_bucket).device()
         self._factor_jit = None
         self._solve_jit = {}
         return self
@@ -94,11 +100,17 @@ class SparseLDLFactorization:
             use_reg = reg is not None
 
             mesh, taxis, spd = self.mesh, self.tree_axis, self.spd
+            self._maybe_build_ea_plans()
+            interp = self._ea_interpret
+            import os
+            dfm = int(os.environ.get("ELEMENTAL_DIST_FRONT_MIN", "1536"))
 
-            def _do(symb, vals, regv):
+            def _do(symb, vals, regv, plans):
                 num = factor(symb, vals, conjugate=conj,
                              reg=regv if use_reg else None, dtype=dt,
-                             mesh=mesh, tree_axis=taxis, spd=spd)
+                             mesh=mesh, tree_axis=taxis, spd=spd,
+                             ea_plans=plans, ea_interpret=interp,
+                             dist_front_min=dfm)
                 return num.pool, num.d
 
             self._factor_jit = jax.jit(_do)
@@ -106,9 +118,37 @@ class SparseLDLFactorization:
         regv = jnp.asarray(np.zeros(self.symb.n) if reg is None else reg, rdt)
         pool, d = self._factor_jit(self.symb,
                                    jnp.asarray(self.A.vals, self._dtype),
-                                   regv)
+                                   regv, self._ea_plans)
         self.numeric = LDLFactorization(self.symb, pool, d, self.hermitian)
         return self
+
+    def _maybe_build_ea_plans(self) -> None:
+        """Build + device-put the Pallas extend-add plans when the platform
+        (or ``ELEMENTAL_EA=on``) calls for them.  ``ELEMENTAL_EA=off``
+        forces the XLA scatter path; on non-TPU platforms ``on`` runs the
+        kernel in Pallas interpret mode (CPU testing)."""
+        import os
+        mode = os.environ.get("ELEMENTAL_EA", "auto")
+        if self._ea_plans is not None or mode == "off":
+            return
+        if np.issubdtype(np.dtype(self._dtype), np.complexfloating):
+            return                      # Pallas tier is real-only
+        from .numeric import _placement_platform
+        plat = _placement_platform()
+        if mode != "on" and plat != "tpu":
+            return
+        if plat == "tpu" and np.dtype(self._dtype).itemsize == 8:
+            return                      # Mosaic has no 64-bit types
+        from .ea_plan import build_ea_plans, plans_device
+        plans = build_ea_plans(self.symb)
+        if plans is not None:
+            self._ea_plans = plans_device(plans)
+            self._ea_interpret = plat != "tpu"
+
+    def _run_factor(self, vals, regv):
+        """(pool, d) from the compiled factor program — the bench/dryrun
+        timing entry (includes the extend-add plan arguments)."""
+        return self._factor_jit(self.symb, vals, regv, self._ea_plans)
 
     def change_nonzero_values(self, new_vals) -> "SparseLDLFactorization":
         """Same structure, new values → refactor reusing the symbolic plan
@@ -196,7 +236,8 @@ class DistSparseLDLFactorization(SparseLDLFactorization):
 
     def initialize(self, A, hermitian: bool = False,
                    perm: Optional[np.ndarray] = None, relax: int = 8,
-                   cutoff: int = 64) -> "DistSparseLDLFactorization":
+                   cutoff: int = 64,
+                   size_bucket: float = 0.0) -> "DistSparseLDLFactorization":
         from ..sparse.distsparse import DistSparseMatrix
         if isinstance(A, DistSparseMatrix):
             if self.mesh is None:
@@ -208,4 +249,5 @@ class DistSparseLDLFactorization(SparseLDLFactorization):
                 "symbolic phase needs the replicated pattern")
             A = A.host
         return super().initialize(A, hermitian=hermitian, perm=perm,
-                                  relax=relax, cutoff=cutoff)
+                                  relax=relax, cutoff=cutoff,
+                                  size_bucket=size_bucket)

@@ -380,27 +380,47 @@ def _shard_level(fronts, mesh, axis):
     return jax.device_put(fronts, sh)
 
 
-# Factor-rate note (measured r4 on v5 lite, 24^3 Laplacian): the level
-# loop's EXTEND-ADD (pool.at[child_dst].add(pool[child_src])) accounts for
-# 84 % of factor wall time — 6.9 M moved elements at ~0.03 Gelem/s because
-# XLA emits SCALAR code for both the gather and the scatter even with
-# argument-passed indices (the same emitter measured at 0.116 Gelem/s in
-# EXPERIMENTS.md E1).  Without it the batched MXU front kernels alone run
-# this factorization at ~25 GF/s vs the 4.2 GF/s end-to-end.  The r5 fix
-# is a Pallas extend-add: child-Schur ROWS are contiguous in the pool and
-# their parent (row, column) maps are monotone (struct subsets are
-# sorted), so each parent-row chunk is ONE windowed lane-gather from one
-# contiguous child-row slice — the plan is per-(target-tile, source-
-# window) with PrefetchScalarGridSpec index maps staging source segments
-# block-wise; estimated 30-60 Gelem/s (≈1000×), bounded by the per-level
-# DMA scheduling of small leaf fronts.
+# Extend-add rates (measured): the XLA flat scatter path
+# (pool.at[child_dst].add(pool[child_src])) runs at ~0.03 Gelem/s on TPU —
+# XLA emits SCALAR code for element-granular gather/scatter — and ate 84 %
+# of r4 factor wall time.  The r5 production path below exploits that XLA
+# row-granular (1,128)-slice gathers ARE fast (measured 13-23 Gelem/s on
+# v5e): per level-round, one XLA row-gather pulls each destination
+# chunk-row's 2-row source window, and the Pallas kernel
+# ``kernels/extend_add.ea_route_add`` lane-routes + accumulates in place.
+# Plans come from ``ea_plan.build_ea_plans`` (reference ``SparseAllToAll``
+# extend-add, ``Process.hpp:150-275``).
+
+
+def _ea_apply(pool, lev, plan, interpret: bool):
+    """Apply one level's extend-add via the Pallas route-add kernel."""
+    from ..kernels.extend_add import BLOCK_ROWS, ea_route_add
+    nf = lev.sn_ids.shape[0]
+    S = lev.front_size
+    Sl = plan.Sl
+    seg = jax.lax.dynamic_slice_in_dim(pool, lev.offset, nf * S * S, 0)
+    seg = seg.reshape(nf * S, S)
+    segp = jnp.pad(seg, ((0, 0), (0, Sl - S))) if Sl > S else seg
+    segp = segp.reshape(-1, 128)
+    segp = jnp.pad(segp, ((0, BLOCK_ROWS), (0, 0)))   # scratch block
+    pool128 = pool.reshape(-1, 128)
+    for r in plan.rounds:
+        w = pool128[r.wpair]                # (Rr, 2, 128) XLA row gather
+        segp = ea_route_add(segp, w, r.idx, r.dstblk, interpret=interpret)
+    seg = segp[:-BLOCK_ROWS].reshape(nf * S, Sl)
+    if Sl > S:
+        seg = seg[:, :S]
+    return jax.lax.dynamic_update_slice_in_dim(pool, seg.reshape(-1),
+                                               lev.offset, 0)
 
 
 def factor(symb: SymbolicFactorization, a_vals, conjugate: bool = False,
            reg: Optional[np.ndarray] = None,
            dtype=jnp.float64, mesh=None, tree_axis: Optional[str] = None,
            panel_blocksize: int = 32, spd: bool = False,
-           pivot_floor=None) -> LDLFactorization:
+           pivot_floor=None, ea_plans=None,
+           ea_interpret: bool = False,
+           dist_front_min: int = 1536) -> LDLFactorization:
     """Numeric multifrontal LDL given the symbolic plan and A's values
     (+ optional diagonal regularization in *original* order, the
     ``RegularizedLDL`` path).
@@ -415,9 +435,15 @@ def factor(symb: SymbolicFactorization, a_vals, conjugate: bool = False,
     *original* order — the reference ``RegularizedLDL``'s dynamic
     regularization: each pivot is forced onto its floor's side of zero with
     magnitude ≥ |floor| (see :func:`_clamp_pivot`); pair with iterative
-    refinement / FGMRES against the unperturbed matrix."""
+    refinement / FGMRES against the unperturbed matrix.
+
+    ``ea_plans``: optional :class:`ea_plan.EAPlans` — levels present in it
+    run their extend-add through the Pallas route-add kernel instead of
+    the XLA flat scatter (``ea_interpret``: Pallas interpret mode, for
+    CPU testing)."""
     a_vals = jnp.asarray(a_vals, dtype)
-    pool = jnp.zeros((symb.pool_size,), dtype)
+    alloc = symb.pool_size if ea_plans is None else ea_plans.pool_alloc
+    pool = jnp.zeros((alloc,), dtype)
     pfp = None
     if pivot_floor is not None:
         # permuted floors, with a trailing 0 row absorbing padded gathers
@@ -436,14 +462,43 @@ def factor(symb: SymbolicFactorization, a_vals, conjugate: bool = False,
                 regp[jnp.asarray(lev.diag_cols)])
 
     d = jnp.zeros((symb.n,), dtype)
-    for lev in symb.levels:
+    for li, lev in enumerate(symb.levels):
         nf = lev.sn_ids.shape[0]
         S = lev.front_size
-        if lev.child_dst.size:
+        lev_plan = (ea_plans.levels.get(li)
+                    if ea_plans is not None else None)
+        if lev_plan is not None:
+            if lev_plan.spill_dst.size:
+                pool = pool.at[lev_plan.spill_dst].add(
+                    pool[lev_plan.spill_src])
+            pool = _ea_apply(pool, lev, lev_plan, ea_interpret)
+        elif lev.child_dst.size:
             pool = pool.at[jnp.asarray(lev.child_dst)].add(
                 pool[jnp.asarray(lev.child_src)])
         seg = jax.lax.dynamic_slice_in_dim(pool, lev.offset, nf * S * S, 0)
         fronts = seg.reshape(nf, S, S)
+        # distributed 2D-front path (reference L2D [MC,MR] fronts,
+        # numeric.hpp:29-38): the few flop-dominant top-separator fronts
+        # are panel-factored across the WHOLE mesh instead of replicated
+        use_dist_front = (
+            mesh is not None and S >= dist_front_min and nf <= 8
+            and not jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating))
+        if use_dist_front:
+            from .dist_front import dist_partial_ldl
+            ns_dev = jnp.asarray(lev.ns)
+            pf_lev = (None if pfp is None
+                      else pfp[jnp.asarray(lev.front_rows)])
+            outs = []
+            for fs in range(nf):
+                outs.append(dist_partial_ldl(
+                    fronts[fs], ns_dev[fs], mesh, conjugate=conjugate,
+                    pf=None if pf_lev is None else pf_lev[fs]))
+            fronts = jnp.stack(outs)
+            pool = jax.lax.dynamic_update_slice_in_dim(
+                pool, fronts.reshape(-1), lev.offset, 0)
+            d = d.at[jnp.asarray(lev.diag_cols)].set(
+                pool[jnp.asarray(lev.diag_dst)])
+            continue
         if mesh is not None:
             fronts = _shard_level(fronts, mesh,
                                   tree_axis or mesh.axis_names[0])
