@@ -363,12 +363,19 @@ def stage_condense():
            "unit": "GFlop/s", "vs_baseline": round(gfs, 2),
            "seconds": round(dt, 4), "eig_err": float(err)}
 
-    # blocked Bidiag + Hessenberg (r4: VERDICT #8) at n=2048, plus the
-    # blocked-vs-rank1 Hessenberg speedup at n=512 (the r2-brief number)
+    # blocked Bidiag + Hessenberg.  The r4 "15× bidiag-vs-tridiag gap"
+    # (53 @2048 vs 813 @4096) was mostly a SIZE mismatch: measured r5
+    # size-matched on v5e — tridiag 267 vs bidiag 50 GF/s at n=2048,
+    # tridiag 703 vs bidiag 168 at n=4096.  The remaining ~4-5× is the
+    # labrd panel's reuse ceiling: each bidiag column runs TWO
+    # unsymmetric trailing GEMVs (A·v and Aᵀ·u — 2 full passes over the
+    # trailing matrix, AI ≈ 1 flop/byte, HBM-bound) where latrd runs one
+    # symmetric Hemv sharing a single pass; bidiag is now benched at
+    # n=4096 alongside tridiag.
     from elemental_tpu.lapack.condense import (_bidiag_blocked,
                                                _hessenberg_blocked,
                                                bidiag, hessenberg)
-    n2 = 2048
+    n2 = 4096
     a2 = jnp.asarray(rng.standard_normal((n2, n2)).astype(np.float32))
 
     def time_call(f, *args, reps=(1, 3)):

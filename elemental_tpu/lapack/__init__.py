@@ -27,6 +27,8 @@ from .props import (condition, entrywise_norm, frobenius_norm, hpd_determinant,
                     nuclear_norm, one_norm, schatten_norm, trace, two_norm,
                     two_norm_estimate)
 from .euclidean_min import glm, least_squares, lse, ridge, tikhonov
+from .sparse_min import (sparse_least_squares, sparse_linear_solve,
+                         sparse_lse)
 from .equilibrate import (Equilibrated, geom_equil, ruiz_equil,
                           symmetric_diagonal_equil, symmetric_ruiz_equil)
 from .funcs import (hermitian_function, hpd_inverse, hpd_square_root, inverse,

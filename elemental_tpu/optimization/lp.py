@@ -47,11 +47,20 @@ def _resolve_numerics(ctrl):
     eps = float(jnp.finfo(default_real_dtype()).eps)
     reg = ctrl.reg
     if reg is None:
-        reg = 1e-9 if eps < 1e-10 else 0.1 * float(np.sqrt(eps))
-    # the f32 duality-gap floor: measured (r4, FD LP n=3456 on v5e) the
-    # iterate converges smoothly to gap ≈ 2e-4 then hits fp noise; 2000·eps
-    # declares convergence there instead of running into the breakdown guard
-    tol = max(ctrl.tol, 2000.0 * eps)
+        # f32: γ must ABSORB the pivot-free quasi-definite element growth.
+        # Measured (r5, ConcatFD2D n1=64, Ruiz-equilibrated, θ=1):
+        # growth(max|L|) ≈ 2.7/γ and the factored-solve residual ≈
+        # eps·growth², so γ=0.1·√eps (the r4 default) leaves an O(1)-error
+        # factor (resid 3.4 — the at-scale stall), γ=1e-3 gives 0.42, and
+        # γ=1e-2 gives 2.8e-2 with FGMRES-8 reaching 4.1e-7.  FGMRES
+        # solves against the UNregularized KKT, so a large γ costs only
+        # preconditioner sharpness — √eps·30 ≈ 1e-2 is the measured knee.
+        reg = 1e-9 if eps < 1e-10 else 30.0 * float(np.sqrt(eps))
+    # f32 tolerance floor: with the γ above, FGMRES directions reach
+    # ~1e-6 relative and the f32 matvec residual floor is ~eps·‖A‖‖x‖ ≈
+    # 1e-7·scale — 50·eps (≈6e-6) is attainable (measured r5 at n1=64;
+    # r4's 2000·eps floor belonged to the garbage-factor regime)
+    tol = max(ctrl.tol, 50.0 * eps)
     if tol > ctrl.tol:
         import warnings
         warnings.warn(
@@ -61,6 +70,15 @@ def _resolve_numerics(ctrl):
             f"enable x64 or use the DD-refined path for tighter targets.",
             stacklevel=3)
     return reg, tol
+
+
+def _resolve_refine(ctrl) -> int:
+    """Dtype-aware FGMRES depth (see LPCtrl.refine_iters)."""
+    if ctrl.refine_iters is not None:
+        return int(ctrl.refine_iters)
+    from ..core.policy import default_real_dtype
+    eps = float(jnp.finfo(default_real_dtype()).eps)
+    return 8 if eps < 1e-10 else 16
 
 
 def _resolve_unroll(ctrl) -> 'Optional[bool]':
@@ -81,8 +99,9 @@ class Approach:
 # python-orchestrated step with ONE compiled factor + ONE compiled
 # refined-solve (see the ``large`` branch in :func:`lp_direct`): each
 # multifrontal-solve instance embedded in a jit costs XLA minutes of TPU
-# compile time at scale.
-LARGE_FUSED_N = 8192
+# compile time at scale — and only the python path can RESTART the
+# refined solve adaptively (essential in f32; see ``ksolve_py``).
+LARGE_FUSED_N = 4096
 
 
 @dataclasses.dataclass
@@ -95,7 +114,11 @@ class LPCtrl:
     sigma_ipf: float = 0.3      # centering for IPF
     backend: str = "auto"       # kept for API parity; the path is sparse
     reg: 'Optional[float]' = None   # None: dtype-aware (1e-9 f64, ~3e-5 f32)
-    refine_iters: int = 8       # FGMRES steps against the exact KKT
+    refine_iters: 'Optional[int]' = None  # FGMRES steps vs the exact KKT
+                                # None: 8 under x64, 16 under f32 (the f32
+                                # factor is a γ≈1e-2-regularized
+                                # preconditioner — measured r5: 16 steps
+                                # converge n1=64 where 8 stall at 7e-5)
     refine_unroll: 'Optional[bool]' = None  # None: platform+size policy
     verbose: bool = False
     ordering: Optional[np.ndarray] = None  # precomputed KKT fill ordering
@@ -188,7 +211,7 @@ def lp_direct(A: SparseMatrix, b: np.ndarray, c: np.ndarray,
     bnorm = float(np.linalg.norm(b)) + 1.0
     cnorm = float(np.linalg.norm(c)) + 1.0
     tau = ctrl.tau
-    nref = ctrl.refine_iters
+    nref = _resolve_refine(ctrl)
 
     # Dynamic pivot-floor regularization (reference RegularizedLDL) is
     # available via kkt.prepare(pivot_floor=...) but OFF here: measured r4,
@@ -309,8 +332,26 @@ def lp_direct(A: SparseMatrix, b: np.ndarray, c: np.ndarray,
             return fact.solve_refined(rhs, reg_diag, iters=nref,
                                       unroll=False)
 
+        @jax.jit
+        def jresid(fact, reg_diag, rhs, sol):
+            kx = fact.sys.matvec(fact.vals, sol) - reg_diag * sol
+            return rhs - kx, jnp.linalg.norm(rhs - kx)
+
         def ksolve_py(fact, f, g):
-            sol = jrefined(fact, reg_diag, jnp.concatenate([f, g]))
+            """Restarted FGMRES(nref): a single sweep can plateau at
+            ~5e-2 relative early in the IPM (measured r5 at n=10⁵: the
+            resulting O(‖rhs‖·5e-2) noise in dx clips every
+            fraction-to-boundary step to ~1% — a permanent stall);
+            restarting on the true residual squares the contraction per
+            sweep at one extra tree-solve sweep each."""
+            rhs = jnp.concatenate([f, g])
+            sol = jrefined(fact, reg_diag, rhs)
+            rn0 = float(jnp.linalg.norm(rhs))
+            for _ in range(3):
+                r, rn = jresid(fact, reg_diag, rhs, sol)
+                if float(rn) <= 1e-4 * rn0:
+                    break
+                sol = sol + jrefined(fact, reg_diag, r)
             return sol[:n], sol[n:]
 
         @jax.jit
@@ -505,7 +546,7 @@ def lp_affine(A: SparseMatrix, b: np.ndarray, G: SparseMatrix,
     Gd, Gtd = G.device_csr(), G.transpose().device_csr()
     bj, hj, cj = jnp.asarray(b), jnp.asarray(h), jnp.asarray(c)
     tau, tol = ctrl.tau, _tol_eff
-    nref = ctrl.refine_iters
+    nref = _resolve_refine(ctrl)
     unroll = _resolve_unroll(ctrl)
     mehrotra = ctrl.approach == Approach.MEHROTRA
     sigma_ipf = ctrl.sigma_ipf

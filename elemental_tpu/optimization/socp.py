@@ -5,14 +5,17 @@ atoms over a product of Lorentz cones given by ``orders``/``firstInds``).
   affine form:  min cᵀx  s.t.  A·x = b,  G·x + s = h,  s ∈ K
   K = K₁ × ... × K_r, each K_i = {(s₀, s̄) : s₀ ≥ ‖s̄‖}
 
-Solver: infeasible primal-dual path following on the self-scaled barrier
-F(s) = −Σ log(s₀² − ‖s̄‖²).  The Newton system is the fixed-pattern
-quasi-definite KKT [[γI, Aᵀ, Gᵀ], [A, −δI, 0], [G, 0, −H̃⁻¹−δI]] with
-H̃ = σμ∇²F(s); the per-cone inverse-Hessian blocks H⁻¹ = ssᵀ − (det/2)·J
-(the quadratic representation Q_s/2) are the dynamic slot — cones are
-grouped by order and the block values computed with one vmapped einsum per
-group, so each iteration is a single jitted device program through the
-multifrontal LDL (symbolic analysis reused across iterations)."""
+Solver: Nesterov–Todd-scaled Mehrotra predictor-corrector (the standard
+self-scaled-cone IPM; NT scaling point per Alizadeh–Goldfarb).  The
+Newton system is the fixed-pattern quasi-definite KKT
+[[γI, Aᵀ, Gᵀ], [A, −δI, 0], [G, 0, −Q_w−δI]] where Q_w = 2wwᵀ − det(w)·J
+is the quadratic representation of the NT point w (Q_w z = s); the
+per-cone Q_w blocks are the dynamic slot — cones are grouped by order and
+the block values computed with one vmapped einsum per group, so each
+iteration is a single jitted device program through the multifrontal LDL
+(symbolic analysis reused across iterations).  The r1–r4 one-sided
+dual-HKM linearization with fixed σ measured-stalled on genuine SOC
+instances (nothing recentered the primal slack; see ``step``)."""
 
 from __future__ import annotations
 
@@ -225,6 +228,100 @@ class ConeOps:
             out = out.at[idx].set(ob)
         return out
 
+    # -- Jordan/NT-scaling atoms (jit-safe, order-grouped) ----------------
+
+    def jprod(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Jordan product a∘b per cone (device ``SOCApply``)."""
+        out = jnp.zeros_like(a)
+        for _, idx in self.groups:
+            ab, bb = a[idx], b[idx]
+            head = jnp.sum(ab * bb, axis=1, keepdims=True)
+            tail = ab[:, :1] * bb[:, 1:] + bb[:, :1] * ab[:, 1:]
+            out = out.at[idx].set(jnp.concatenate([head, tail], axis=1))
+        return out
+
+    def jsqrt(self, a: jnp.ndarray) -> jnp.ndarray:
+        """Jordan square root: √a = (a + √det(a)·e)/√(2(a₀ + √det(a)))."""
+        out = jnp.zeros_like(a)
+        for o, idx in self.groups:
+            ab = a[idx]
+            rd = jnp.sqrt(jnp.maximum(self._det(ab), 0.0))
+            denom = jnp.sqrt(jnp.maximum(2.0 * (ab[:, 0] + rd), 1e-30))
+            head = (ab[:, :1] + rd[:, None]) / denom[:, None]
+            tail = ab[:, 1:] / denom[:, None]
+            out = out.at[idx].set(jnp.concatenate([head, tail], axis=1))
+        return out
+
+    def jinv(self, a: jnp.ndarray) -> jnp.ndarray:
+        """Jordan inverse a⁻¹ = J·a / det(a) per cone."""
+        out = jnp.zeros_like(a)
+        for _, idx in self.groups:
+            ab = a[idx]
+            det = self._det(ab)
+            out = out.at[idx].set(self._jmul(ab) / det[:, None])
+        return out
+
+    def qrep_apply(self, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+        """Q_u·v = 2u(uᵀv) − det(u)·Jv per cone (quadratic rep)."""
+        out = jnp.zeros_like(v)
+        for _, idx in self.groups:
+            ub, vb = u[idx], v[idx]
+            det = self._det(ub)
+            dot = jnp.sum(ub * vb, axis=1)
+            ob = 2.0 * ub * dot[:, None] - det[:, None] * self._jmul(vb)
+            out = out.at[idx].set(ob)
+        return out
+
+    def qrep_vals(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Flattened per-cone blocks of Q_u = 2uuᵀ − det(u)·J, group-major
+        (matches the dynamic-slot layout)."""
+        outs = []
+        for o, idx in self.groups:
+            ub = u[idx]
+            det = self._det(ub)
+            blocks = 2.0 * jnp.einsum("ci,cj->cij", ub, ub)
+            jdiag = jnp.concatenate(
+                [jnp.ones((1,), u.dtype), -jnp.ones((o - 1,), u.dtype)])
+            blocks = blocks - det[:, None, None] * jnp.diag(jdiag)[None]
+            outs.append(blocks.reshape(-1))
+        return jnp.concatenate(outs)
+
+    def arrow_solve(self, lam: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+        """u with λ∘u = q per cone: u₀ = (λ₀q₀ − λ̄ᵀq̄)/det(λ),
+        ū = (q̄ − u₀λ̄)/λ₀."""
+        out = jnp.zeros_like(q)
+        for _, idx in self.groups:
+            lb, qb = lam[idx], q[idx]
+            det = self._det(lb)
+            u0 = (lb[:, 0] * qb[:, 0]
+                  - jnp.sum(lb[:, 1:] * qb[:, 1:], axis=1)) / det
+            ut = (qb[:, 1:] - u0[:, None] * lb[:, 1:]) / lb[:, :1]
+            out = out.at[idx].set(
+                jnp.concatenate([u0[:, None], ut], axis=1))
+        return out
+
+    def nt_scaling(self, s: jnp.ndarray, z: jnp.ndarray):
+        """Nesterov–Todd scaling point per cone: w = η·w̄ with
+        w̄ = (s̃ + Jz̃)/√(2(1 + s̃ᵀz̃)), s̃ = s/√det(s), z̃ = z/√det(z),
+        η = (det(s)/det(z))^¼ — the unique w with Q_w z = s.  Returns
+        (w, w^½, w^{−½}, λ = Q_{w^½} z)."""
+        w = jnp.zeros_like(s)
+        for _, idx in self.groups:
+            sb, zb = s[idx], z[idx]
+            sd = jnp.sqrt(jnp.maximum(self._det(sb), 1e-30))
+            zd = jnp.sqrt(jnp.maximum(self._det(zb), 1e-30))
+            st = sb / sd[:, None]
+            zt = zb / zd[:, None]
+            dot = jnp.sum(st * zt, axis=1)
+            denom = jnp.sqrt(jnp.maximum(2.0 * (1.0 + dot), 1e-30))
+            wb = (st + self._jmul(zt)) / denom[:, None]
+            eta = (sd / zd) ** 0.5
+            w = w.at[idx].set(eta[:, None] * wb)
+        wh = self.jsqrt(w)
+        whi = self.jinv(wh)
+        lam = self.qrep_apply(wh, z)
+        return w, wh, whi, lam
+
     def dyn_indices(self, offset: int) -> Tuple[np.ndarray, np.ndarray]:
         """(rows, cols) of the per-cone dense blocks, group-major, shifted
         by ``offset`` — the dynamic-slot pattern for :class:`KKTBuilder`."""
@@ -239,17 +336,31 @@ class ConeOps:
 
     def max_step(self, s: jnp.ndarray, ds: jnp.ndarray,
                  tau: float) -> jnp.ndarray:
-        """Largest α ≤ 1 with s + α·ds ∈ K (bisection, jit-safe)."""
-        full = self.min_eig(s + ds) > 0
+        """min(1, τ·α*) with α* = sup{α : s + α·ds ∈ K}, ANALYTIC.
 
-        def body(_, carry):
-            lo, hi = carry
-            mid = 0.5 * (lo + hi)
-            ok = self.min_eig(s + mid * ds) > 0
-            return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
-
-        lo, _ = jax.lax.fori_loop(0, 50, body, (jnp.zeros(()), jnp.ones(())))
-        return jnp.where(full, 1.0, tau * lo)
+        Exit happens where det(s+αds) = 0: with a = det(ds),
+        b = s₀d₀ − s̄ᵀd̄, c = det(s) > 0 the quadratic aα² + 2bα + c has
+        its smallest positive root α* = c/(−b + √(b²−ac)), existing iff
+        a < 0 or (b < 0 and b² ≥ ac); otherwise the ray stays in the
+        cone.  (The r4 bisection returned EXACTLY 1.0 for in-cone full
+        steps — an iterate could land on the boundary, after which every
+        subsequent bisection returned 0: a permanent stall, measured r5
+        on the RLS driver.  τ now always margins the boundary.)"""
+        alpha = jnp.full((), np.inf, s.dtype)
+        for _, idx in self.groups:
+            sb, db = s[idx], ds[idx]
+            a = self._det(db)
+            b = sb[:, 0] * db[:, 0] - jnp.sum(sb[:, 1:] * db[:, 1:],
+                                              axis=1)
+            c = self._det(sb)
+            disc = b * b - a * c
+            sqd = jnp.sqrt(jnp.maximum(disc, 0.0))
+            exists = (a < 0) | ((b < 0) & (disc >= 0))
+            denom = -b + sqd
+            root = c / jnp.where(denom > 0, denom, 1.0)
+            cand = jnp.where(exists & (denom > 0), root, np.inf)
+            alpha = jnp.minimum(alpha, jnp.min(cand))
+        return jnp.minimum(1.0, tau * alpha)
 
 
 def _coneops_flatten(o):
@@ -296,7 +407,7 @@ def socp_affine(A, b: np.ndarray, G, h: np.ndarray, c: np.ndarray,
         n = c.shape[0]
     k = cones.dim
     N = n + m + k
-    from .lp import _resolve_numerics
+    from .lp import _resolve_numerics, _resolve_refine
     gamma, _tol_eff = _resolve_numerics(ctrl)
     delta = gamma
     ops = ConeOps(cones)
@@ -326,35 +437,58 @@ def socp_affine(A, b: np.ndarray, G, h: np.ndarray, c: np.ndarray,
     Gd, Gtd = G.device_csr(), G.transpose().device_csr()
     bj, hj, cj = jnp.asarray(b), jnp.asarray(h), jnp.asarray(c)
     tau, tol = ctrl.tau, _tol_eff
-    nref = ctrl.refine_iters
+    nref = _resolve_refine(ctrl)
     from .lp import _resolve_unroll
     unroll = _resolve_unroll(ctrl)
-    sigma = 0.25
+
+    ident = jnp.asarray(soc_identity(cones))
 
     @jax.jit
     def step(x, y, s, z, kkt, reg_diag, ops, Ad, Atd, Gd, Gtd, bj, hj, cj):
+        """Nesterov–Todd-scaled Mehrotra predictor-corrector (the
+        reference's Mehrotra SOCP, SURVEY §3.6; NT per Alizadeh–Goldfarb).
+
+        The r1-r4 dual-HKM linearization (block −σμ∇²F(z), fixed σ)
+        measured-STALLED on genuine SOC instances: nothing recenters the
+        primal slack, s hits the cone boundary and the
+        fraction-to-boundary collapses to 0 permanently (r5, RLS driver,
+        x64).  NT scaling is symmetric — λ = W z = W⁻ᵀs — so both sides
+        stay centered; the KKT (3,3) block is −Q_w (same fixed pattern),
+        and the scaled complementarity gives
+            ds = W(v − W dz),  v = λ⁻¹∘(target − λ∘λ − corrector)."""
         rb = bj - Ad.matvec(x)
         rh = hj - Gd.matvec(x) - s
         rc = -(cj + Atd.matvec(y) + Gtd.matvec(z))
         mu = ops.duality(s, z)
         gap = s @ z
         pobj = cj @ x
-        # dual-linearized central path (HKM-dual): s = −σμ∇F(z) ⇒
-        #   ds + σμ∇²F(z) dz = −(s + σμ∇F(z)) = −rmu
-        # eliminating ds keeps the (3,3) block NEGATIVE definite (the
-        # quasi-definite shape the pivot-free LDL needs):
-        #   G dx − σμ∇²F(z) dz = rh + rmu
-        sm = sigma * mu
-        rmu = s + sm * ops.grad(z)
-        fact = kkt.prepare(kkt.assemble([-sm * ops.hess_vals(z)]))
-        rhs = jnp.concatenate([rc, rb, rh + rmu])
-        sol = fact.solve_refined(rhs, reg_diag, iters=nref,
-                                 unroll=unroll)
-        dx, dy, dz = sol[:n], sol[n:n + m], sol[n + m:]
-        ds = -sm * ops.hess_apply(z, dz) - rmu
-        ap = ops.max_step(s, ds, tau)
-        ad = ops.max_step(z, dz, tau)
-        alpha = jnp.minimum(jnp.minimum(ap, ad), 1.0)
+        w, wh, whi, lam = ops.nt_scaling(s, z)
+        fact = kkt.prepare(kkt.assemble([-ops.qrep_vals(w)]))
+
+        def directions(target):
+            v = ops.arrow_solve(lam, target - ops.jprod(lam, lam))
+            wv = ops.qrep_apply(wh, v)
+            rhs = jnp.concatenate([rc, rb, rh - wv])
+            sol = fact.solve_refined(rhs, reg_diag, iters=nref,
+                                     unroll=unroll)
+            dx, dy, dz = sol[:n], sol[n:n + m], sol[n + m:]
+            ds = wv - ops.qrep_apply(w, dz)
+            return dx, dy, dz, ds
+
+        # predictor (affine): target 0
+        dxa, dya, dza, dsa = directions(jnp.zeros_like(s))
+        ap = ops.max_step(s, dsa, 1.0)
+        ad = ops.max_step(z, dza, 1.0)
+        aa = jnp.minimum(ap, ad)
+        mu_aff = ((s + aa * dsa) @ (z + aa * dza)) / ops.r
+        sigma_m = jnp.clip(jnp.where(mu > 0, (mu_aff / mu) ** 3, 0.0),
+                           0.0, 1.0)
+        # corrector: σμe − (W⁻ᵀdsₐ)∘(W dzₐ)
+        corr = ops.jprod(ops.qrep_apply(whi, dsa),
+                         ops.qrep_apply(wh, dza))
+        dx, dy, dz, ds = directions(sigma_m * mu * ident - corr)
+        alpha = jnp.minimum(ops.max_step(s, ds, tau),
+                            ops.max_step(z, dz, tau))
         xn, yn = x + alpha * dx, y + alpha * dy
         sn, zn = s + alpha * ds, z + alpha * dz
         # finiteness of the NEW iterate (the residuals are of the input)

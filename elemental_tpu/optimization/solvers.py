@@ -199,3 +199,66 @@ def robust_least_squares(A, b: np.ndarray, rho: float,
     res = socp_affine(np.zeros((0, nv)), np.zeros(0), G, h, c,
                       Cones([m + 1, n + 1]), ctrl or LPCtrl())
     return res.x[:n]
+
+
+def rnnls(A, b: np.ndarray, rho: float,
+          ctrl: Optional[LPCtrl] = None) -> np.ndarray:
+    """Robust non-negative least squares (reference ``RNNLS.py``, which
+    routes through the affine SOCP solver):
+
+        min_{x ≥ 0}  ‖Ax − b‖₂ + ρ‖x‖₂
+
+    — :func:`robust_least_squares` plus the nonnegative orthant (n
+    order-1 cones appended to the two Lorentz cones)."""
+    Ad = _dense(A)
+    m, n = Ad.shape
+    # vars (x, t1, t2); min t1 + ρ·t2
+    nv = n + 2
+    rows = m + 1 + n + 1 + n
+    G = np.zeros((rows, nv))
+    h = np.zeros(rows)
+    G[0, n] = -1.0                       # (t1, Ax−b) ∈ SOC_{m+1}
+    G[1:m + 1, :n] = -Ad
+    h[1:m + 1] = -b
+    G[m + 1, n + 1] = -1.0               # (t2, x) ∈ SOC_{n+1}
+    G[m + 2:m + 2 + n, :n] = -np.eye(n)
+    G[m + 2 + n:, :n] = -np.eye(n)       # x ≥ 0 (order-1 cones)
+    c = np.zeros(nv)
+    c[n] = 1.0
+    c[n + 1] = rho
+    res = socp_affine(np.zeros((0, nv)), np.zeros(0), G, h, c,
+                      Cones([m + 1, n + 1] + [1] * n), ctrl or LPCtrl())
+    return res.x[:n]
+
+
+def basis_pursuit_complex(A: np.ndarray, b: np.ndarray,
+                          ctrl: Optional[LPCtrl] = None) -> np.ndarray:
+    """Complex basis pursuit (reference ``BPComplex.py``):
+
+        min ‖x‖₁  s.t.  Ax = b,   A ∈ ℂ^{m×n}, x ∈ ℂⁿ
+
+    with ‖x‖₁ = Σ|xᵢ| = Σ‖(Re xᵢ, Im xᵢ)‖₂ — realified into an SOCP:
+    variables (t, Re x, Im x), n order-3 Lorentz cones tᵢ ≥ ‖(Reᵢ, Imᵢ)‖,
+    and the realified equality [Re A, −Im A; Im A, Re A]·(Re x; Im x) =
+    (Re b; Im b)."""
+    A = np.asarray(A, complex)
+    b = np.asarray(b, complex)
+    m, n = A.shape
+    nv = n + 2 * n                        # (t, Re x, Im x)
+    Ar, Ai = A.real, A.imag
+    Aeq = np.zeros((2 * m, nv))
+    Aeq[:m, n:2 * n] = Ar
+    Aeq[:m, 2 * n:] = -Ai
+    Aeq[m:, n:2 * n] = Ai
+    Aeq[m:, 2 * n:] = Ar
+    beq = np.concatenate([b.real, b.imag])
+    G = np.zeros((3 * n, nv))
+    h = np.zeros(3 * n)
+    for i in range(n):
+        G[3 * i, i] = -1.0               # tᵢ
+        G[3 * i + 1, n + i] = -1.0       # Re xᵢ
+        G[3 * i + 2, 2 * n + i] = -1.0   # Im xᵢ
+    c = np.concatenate([np.ones(n), np.zeros(2 * n)])
+    res = socp_affine(Aeq, beq, G, h, c, Cones([3] * n),
+                      ctrl or LPCtrl())
+    return res.x[n:2 * n] + 1j * res.x[2 * n:]

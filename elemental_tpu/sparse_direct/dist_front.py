@@ -21,9 +21,7 @@ this module hand-writes the panel pipeline in ``shard_map``:
 
 from __future__ import annotations
 
-import math
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
@@ -95,14 +93,15 @@ def dist_partial_ldl(F: jnp.ndarray, ns, mesh, nb: int = 128,
                 return Pp
 
             Pp = jax.lax.fori_loop(0, nb, elim, Pp)
-            # trailing rank-nb update of the LOCAL row block (MXU)
+            # trailing rank-nb update of the LOCAL row block (MXU);
+            # precision pinned — see numeric._factor_impl
             prow = j0 + tpan
             d = Pp[prow, tpan]
             Lp = jnp.where((rows[:, None] > prow[None, :])
                            & (prow[None, :] < ns), Pp, 0.0)
             Ll = jax.lax.dynamic_slice(Lp, (r0, z), (rows_loc, nb))
             LpT = jnp.conj(Lp).T if conjugate else Lp.T
-            U = (Ll * d[None, :]) @ LpT
+            U = jnp.matmul(Ll * d[None, :], LpT, precision="highest")
             Fl = Fl - U * (rows[None, :] >= j0 + nb)
             # write the factored panel back into the local rows
             Pl_new = jax.lax.dynamic_slice(Pp, (r0, z), (rows_loc, nb))

@@ -103,7 +103,16 @@ class SparseLDLFactorization:
             self._maybe_build_ea_plans()
             interp = self._ea_interpret
             import os
-            dfm = int(os.environ.get("ELEMENTAL_DIST_FRONT_MIN", "1536"))
+            from .numeric import _placement_platform
+            # distributed 2D fronts ride MXU panel updates + ICI
+            # all-gathers; on the virtual CPU mesh the replicated rank-1
+            # panel eliminations serialize (measured r5: 0.09 GF/s at 40³
+            # vs ~batch-shard-only 8-dev) — default the tier to TPU only,
+            # env-overridable either way
+            dfm_default = "1536" if _placement_platform() == "tpu" \
+                else str(1 << 30)
+            dfm = int(os.environ.get("ELEMENTAL_DIST_FRONT_MIN",
+                                     dfm_default))
 
             def _do(symb, vals, regv, plans):
                 num = factor(symb, vals, conjugate=conj,

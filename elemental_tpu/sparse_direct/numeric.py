@@ -199,6 +199,12 @@ class LDLFactorization:
 
     # -- solves -------------------------------------------------------------
     def solve(self, b) -> jnp.ndarray:
+        # precision pinned for the same reason as factor(): the level
+        # triangular solves lower to MXU matmuls
+        with jax.default_matmul_precision("highest"):
+            return self._solve_impl(b)
+
+    def _solve_impl(self, b) -> jnp.ndarray:
         symb = self.symb
         n = symb.n
         x = jnp.asarray(b)
@@ -441,6 +447,23 @@ def factor(symb: SymbolicFactorization, a_vals, conjugate: bool = False,
     run their extend-add through the Pallas route-add kernel instead of
     the XLA flat scatter (``ea_interpret``: Pallas interpret mode, for
     CPU testing)."""
+    with jax.default_matmul_precision("highest"):
+        return _factor_impl(symb, a_vals, conjugate, reg, dtype, mesh,
+                            tree_axis, panel_blocksize, spd, pivot_floor,
+                            ea_plans, ea_interpret, dist_front_min)
+
+
+def _factor_impl(symb, a_vals, conjugate, reg, dtype, mesh, tree_axis,
+                 panel_blocksize, spd, pivot_floor, ea_plans, ea_interpret,
+                 dist_front_min):
+    # Matmul precision is pinned to 'highest' by the factor() wrapper: the
+    # front kernels' trailing updates ((Lp·dp)·Lpᵀ, P·Pᵀ, the batched
+    # cholesky/triangular_solve) otherwise run through the TPU's 1-pass
+    # bf16 MXU pipeline, and bf16-level product error amplified by the
+    # factorization's intermediate cancellation destroys the factor for
+    # quasi-definite KKT matrices (measured r5 at N=150K, θ spread
+    # [0.05,0.72]: factored-solve residual 4.8 vs its OWN factored matrix
+    # in default precision; 1.8e-14 in x64 — pure product precision).
     a_vals = jnp.asarray(a_vals, dtype)
     alloc = symb.pool_size if ea_plans is None else ea_plans.pool_alloc
     pool = jnp.zeros((alloc,), dtype)
