@@ -143,7 +143,13 @@ class SparseLDLFactorization:
         if np.issubdtype(np.dtype(self._dtype), np.complexfloating):
             return                      # Pallas tier is real-only
         from .numeric import _placement_platform
-        plat = _placement_platform()
+        if self.mesh is not None:
+            # the factor runs where the mesh lives, not on the default
+            # device (the CPU-mesh dryrun on a TPU-attached host would
+            # otherwise compile Mosaic kernels for the CPU backend)
+            plat = next(iter(np.asarray(self.mesh.devices).flat)).platform
+        else:
+            plat = _placement_platform()
         if mode != "on" and plat != "tpu":
             return
         if plat == "tpu" and np.dtype(self._dtype).itemsize == 8:

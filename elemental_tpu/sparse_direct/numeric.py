@@ -375,9 +375,11 @@ def _shard_level(fronts, mesh, axis):
     #    GSPMD cannot pipeline a sharded (batched) Cholesky, it all-gathers.
     # So: batch-shard only levels with enough sibling fronts AND enough
     # flops to amortize the boundary collectives.  The flop-dominant top
-    # separator fronts stay replicated — distributing them properly needs a
-    # hand-written shard_map panel factorization (the reference's L2D
-    # [MC,MR] fronts), future work tracked in PARITY.md.
+    # separator fronts go through the hand-written shard_map panel
+    # factorization (dist_front.py, the reference's L2D [MC,MR] fronts)
+    # when S ≥ dist_front_min — TPU-gated by default (EXPERIMENTS §E5.5:
+    # the shared-socket virtual mesh taxes replicated bytes ×8, so only
+    # real multi-chip meshes reward that tier).
     if nf < ndev or nf * S ** 3 < 2e9:
         return fronts
     sh = NamedSharding(mesh, PartitionSpec(axis))
