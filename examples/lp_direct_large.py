@@ -13,12 +13,16 @@ At-scale invocation (n = 10⁵ variables, the round-1 done-criterion):
 Reports wall-clock per IPM iteration and the multifrontal factor GFlop
 estimate (reference ``LocalFactorGFlops``, ``SparseLDL.cpp:143-169``).
 
-Captured r4 on the machine's TPU v5 lite (pure f32): ``--n1 224``
-(m=50,176, n=100,352, KKT N=150,528) COMPLETES — 100 iterations at
-14.22 s/iteration (1,422 s wall incl. one-time compiles), best-iterate
-primal residual 5.7e-1; ``--n1 24`` converges fully in 12 iterations.
-Tight convergence at scale is f32-precision-bound (see the measured
-analysis at the bottom assertions) and needs the x64 (CPU) path.
+Captured r5 on the machine's TPU v5 lite (pure f32): ``--n1 224``
+(m=50,176, n=100,352, KKT N=150,528) SOLVES — rb contracts ~3×/iteration
+(6.9e3 → 2.2e-4 absolute by it 14, i.e. ~3e-8 relative) and the
+DD-evaluated duality gap reaches ~1e-5 by it ~25 (r4's run was stuck at
+primal residual 5.7e-1 after 100 iterations).  Three measured r5 fixes
+made this possible — EXPERIMENTS.md §E5.3-E5.4: (1) the front kernels'
+MXU matmuls ran at bf16 precision (factored-solve residual 4.8 at
+spread θ; now pinned 'highest'); (2) γ = 30·√eps sits at the
+element-growth knee; (3) residuals/gap are evaluated with compensated
+(double-word) arithmetic and the refined solves restart to 1e-6·‖rhs‖.
 """
 
 import time
@@ -97,21 +101,25 @@ def main():
     output(f"primal residual {r:.2e}, min(x) = {res.x.min():.2e}, "
            f"converged={res.converged}")
     # Dtype-aware expectations (core/policy): under x64 (CPU hosts) the
-    # solve converges at any size.  In pure f32 (TPU without x64) the IPM
-    # linear algebra is precision-bound past moderate scale — measured r4:
-    # the f32 LDL of the KKT loses ~5 digits to element growth, FGMRES-8
-    # contracts ~0.9/iter against it, and the SPD normal-equations
-    # alternative overflows f32 Cholesky once κ(AD²Aᵀ) > 1/eps — so at
-    # n1 ≥ ~48 the driver records wall/iteration + factor GFlop/s and the
-    # best iterate, and convergence is asserted only where reachable.
+    # solve converges to classical tolerances at any size.  In pure f32
+    # (TPU) the r5 numerics (precision-pinned fronts, γ at the growth
+    # knee, restarted refined solves, DD-evaluated residuals/gap) carry
+    # the n=10⁵ instance to a DD-evaluated gap ~1e-5 and relative primal
+    # residual ~1e-7; the asserted f32 bound below is the measured
+    # achievable envelope (EXPERIMENTS.md §E5.4).
     import jax.numpy as jnp
     from elemental_tpu.core.policy import default_real_dtype, x64_enabled
     eps = float(jnp.finfo(default_real_dtype()).eps)
-    bound = max(1e-6, 2000.0 * eps)
     assert np.isfinite(r) and res.x.min() > -1e-6
     if x64_enabled() or n1 <= 32:
+        bound = max(1e-6, 2000.0 * eps)
         assert res.converged or r < bound
         assert r < bound
+    else:
+        # f32 at scale: primal feasibility to ~1e-6 relative and the
+        # (DD-evaluated) metric within ~1e-4
+        assert r < 1e-5 * (1 + np.sqrt(n1)), r
+        assert res.metric is not None and res.metric < 2e-4, res.metric
 
 
 if __name__ == "__main__":
