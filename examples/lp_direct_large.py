@@ -14,15 +14,18 @@ Reports wall-clock per IPM iteration and the multifrontal factor GFlop
 estimate (reference ``LocalFactorGFlops``, ``SparseLDL.cpp:143-169``).
 
 Captured r5 on the machine's TPU v5 lite (pure f32): ``--n1 224``
-(m=50,176, n=100,352, KKT N=150,528) SOLVES — rb contracts ~3×/iteration
-(6.9e3 → 2.2e-4 absolute by it 14, i.e. ~3e-8 relative) and the
-DD-evaluated duality gap reaches ~1e-5 by it ~25 (r4's run was stuck at
-primal residual 5.7e-1 after 100 iterations).  Three measured r5 fixes
-made this possible — EXPERIMENTS.md §E5.3-E5.4: (1) the front kernels'
-MXU matmuls ran at bf16 precision (factored-solve residual 4.8 at
-spread θ; now pinned 'highest'); (2) γ = 30·√eps sits at the
-element-growth knee; (3) residuals/gap are evaluated with compensated
-(double-word) arithmetic and the refined solves restart to 1e-6·‖rhs‖.
+(m=50,176, n=100,352, KKT N=150,528) **CONVERGES in 32 iterations** —
+metric 5.88e-6 < the f32 tolerance floor 5.96e-6, final relative primal
+residual 3.6e-8, 44.5 s/iteration (1,423 s wall incl. one-time
+compiles); rb contracts ~3×/iteration (6.9e3 → 2.2e-4 absolute by it
+14) and the DD-evaluated duality gap passes 1e-5 by it ~25.  r4's run
+was stuck at primal residual 5.7e-1 after 100 iterations.  Three
+measured r5 fixes made this possible — EXPERIMENTS.md §E5.3-E5.4:
+(1) the front kernels' MXU matmuls ran at bf16 precision
+(factored-solve residual 4.8 at spread θ; now pinned 'highest');
+(2) γ = 30·√eps sits at the element-growth knee; (3) residuals/gap are
+evaluated with compensated (double-word) arithmetic and the refined
+solves restart to 1e-6·‖rhs‖.
 """
 
 import time

@@ -99,15 +99,30 @@ def test_ea_on_chip():
     if not tpus:
         pytest.skip("no TPU attached")
     A = sparse_laplacian_3d(10, 10, 10, scaled=False)
-    with jax.default_device(tpus[0]):
+    # the suite enables x64 globally; Mosaic has no 64-bit types, and the
+    # production TPU path is f32 — run this test the way the chip runs
+    jax.config.update("jax_enable_x64", False)
+    try:
+        _ea_on_chip_body(A, tpus[0])
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
+def _ea_on_chip_body(A, dev):
+    with jax.default_device(dev):
         os.environ["ELEMENTAL_EA"] = "off"
         try:
             f0 = SparseLDLFactorization(spd=True)
             f0.initialize(A, cutoff=32)
             f0.factor()
-            os.environ["ELEMENTAL_EA"] = "on"
             f1 = SparseLDLFactorization(spd=True)
             f1.initialize(A, cutoff=32)
+            # min_elems=1: at this test size no level clears the facade's
+            # production threshold — build plans for every level so the
+            # Mosaic kernel actually compiles and runs on the chip
+            plans = build_ea_plans(f1.symb, min_elems=1)
+            f1._ea_plans = plans_device(plans)
+            f1._ea_interpret = False
             f1.factor()
         finally:
             os.environ.pop("ELEMENTAL_EA", None)
