@@ -66,7 +66,7 @@ class SpMVPlan:
     def slow(self) -> bool:
         """True when the dispatched tier is scalar-combine-bound on TPU
         (callers should warn or restructure; see module docstring)."""
-        return self.kind in ("gather_csr", "csr")
+        return self.kind in ("gather_csr", "csr", "bridged")
 
     def device(self, device=None, dtype=None) -> "SpMVPlan":
         import jax
@@ -80,6 +80,9 @@ class SpMVPlan:
                     g = dataclasses.replace(g, chunks=tuple(
                         dataclasses.replace(c, vals=c.vals.astype(dtype))
                         for c in g.chunks))
+                elif hasattr(g, "rounds"):  # BridgedPlan
+                    g = dataclasses.replace(g, gather=dataclasses.replace(
+                        g.gather, vals=g.gather.vals.astype(dtype)))
                 else:
                     g = dataclasses.replace(g, vals=g.vals.astype(dtype))
             if device is not None:
@@ -153,8 +156,19 @@ def _permuted(A: SparseMatrix, p: np.ndarray) -> SparseMatrix:
 
 def plan_spmv(A: SparseMatrix, cols: int = 1024, try_rcm: bool = True,
               max_stream_ratio: float = 16.0,
-              max_halo: int = 256, pallas_gather: bool = True) -> SpMVPlan:
-    """Plan y = A·x for TPU execution (see module docstring)."""
+              max_halo: int = 256, pallas_gather: bool = True,
+              kind: str = "auto") -> SpMVPlan:
+    """Plan y = A·x for TPU execution (see module docstring).
+
+    ``kind='bridged'`` forces the r5 gather→route→one-hot-combine tier
+    (``kernels/unstructured.plan_bridged_spmv``): ~1.7× the gather_csr
+    fallback on the d=10 uniform-random north-star (0.253 vs 0.149
+    Gnnz/s captured on v5e) at f32 accuracy, but with a heavyweight host
+    plan — opt-in, not auto (EXPERIMENTS.md §E5.6)."""
+    if kind == "bridged":
+        from ..kernels.unstructured import plan_bridged_spmv
+        return SpMVPlan("bridged", A.height, A.width, A.nnz,
+                        gather=plan_bridged_spmv(A))
     from ..kernels.spmv import plan_stencil_spmv
 
     n = A.height
