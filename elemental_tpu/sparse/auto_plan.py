@@ -52,7 +52,7 @@ class SpMVPlan:
     ``to_plan_space``/``from_plan_space`` at the boundary (host-side
     gathers — one-off per solve, never in the hot loop)."""
 
-    kind: str                 # 'stencil' | 'stencil_rcm' | 'gather_csr' | 'csr'
+    kind: str   # 'stencil' | 'stencil_rcm' | 'gather_csr' | 'csr' | 'bridged'
     height: int
     width: int
     nnz: int
