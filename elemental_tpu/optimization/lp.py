@@ -113,7 +113,7 @@ class LPCtrl:
     tau: float = 0.995          # fraction-to-boundary
     sigma_ipf: float = 0.3      # centering for IPF
     backend: str = "auto"       # kept for API parity; the path is sparse
-    reg: 'Optional[float]' = None   # None: dtype-aware (1e-9 f64, ~3e-5 f32)
+    reg: 'Optional[float]' = None   # None: dtype-aware (1e-9 f64, ~1e-2 f32)
     refine_iters: 'Optional[int]' = None  # FGMRES steps vs the exact KKT
                                 # None: 8 under x64, 16 under f32 (the f32
                                 # factor is a γ≈1e-2-regularized
