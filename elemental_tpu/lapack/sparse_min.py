@@ -41,24 +41,31 @@ def _coo(A: SparseMatrix):
     return np.repeat(np.arange(A.shape[0]), A.row_nnz()), A.colind, A.vals
 
 
-def sparse_least_squares(A: SparseMatrix, b, alpha: Optional[float] = None,
-                         refine: int = 6) -> jnp.ndarray:
+def sparse_least_squares(A: SparseMatrix, b, delta: Optional[float] = None,
+                         refine: int = 8) -> jnp.ndarray:
     """min‖Ax − b‖₂ for sparse A (m ≥ n or square; for square nonsingular
     A this is the sparse ``LinearSolve``).  Reference:
     ``SequentialLeastSquares.py`` / ``SequentialLinearSolve.py`` callers
-    of the augmented-system path."""
+    of the augmented-system path.
+
+    The embedding keeps the residual variable UNSCALED —
+    [[I, A], [Aᵀ, −δI]]·[r; x] = [b; 0] — so refinement against the
+    δ-free operator contracts at O(δ·κ).  (The classical r/α scaling
+    with α ≈ √eps·‖A‖ measured-DIVERGED ×3/iteration on the
+    ExtendedLaplacian driver: the 1e5-scaled residual variable mixes
+    magnitudes the f.p. refinement cannot survive.)"""
     m, n = A.shape
     N = m + n
     dt = default_real_dtype()
     eps = float(jnp.finfo(dt).eps)
-    if alpha is None:
-        alpha = float(np.sqrt(eps)) * max(1.0, float(np.abs(A.vals).max()))
+    if delta is None:
+        delta = float(np.sqrt(eps)) * max(1.0, float(np.abs(A.vals).max()))
     ar, ac, av = _coo(A)
     K = _augmented([
-        (np.arange(m), np.arange(m), np.full(m, alpha)),
+        (np.arange(m), np.arange(m), np.ones(m)),
         (ar, ac + m, av),
         (ac + m, ar, av),
-        (np.arange(m, N), np.arange(m, N), np.full(n, -alpha)),
+        (np.arange(m, N), np.arange(m, N), np.full(n, -delta)),
     ], N)
     f = SparseLDLFactorization()
     f.initialize(K)
@@ -71,12 +78,8 @@ def sparse_least_squares(A: SparseMatrix, b, alpha: Optional[float] = None,
 
     def k0(v):
         u, x = v[:m], v[m:]
-        return jnp.concatenate([alpha * u + Ad.matvec(x),
-                                Atd.matvec(u)])
+        return jnp.concatenate([u + Ad.matvec(x), Atd.matvec(u)])
 
-    # refinement against the α-free SECOND block row (the first row's α
-    # belongs to the true operator: u ≜ r/α): K₀ differs from K only in
-    # the −αI (2,2) block
     for _ in range(refine):
         sol = sol + f.solve(rhs - k0(sol))
     return sol[m:]

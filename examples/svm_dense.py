@@ -15,7 +15,8 @@ def main():
     w_true = rng.standard_normal(n)
     X = rng.standard_normal((m, n))
     labels = np.sign(X @ w_true + 0.1 * rng.standard_normal(m))
-    w, beta = svm(X, labels, lam=0.1)
+    wb = svm(X, labels, lam=0.1)
+    w, beta = wb[:n], wb[n]
     acc = (np.sign(X @ w + beta) == labels).mean()
     assert acc >= 0.8, acc
     output(f"dense SVM: training accuracy {acc:.3f}")

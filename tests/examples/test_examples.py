@@ -19,7 +19,14 @@ DRIVERS = ["bp", "bpdn", "lav", "cp", "ds", "en", "nnls", "svm", "tv",
            "pseudospectra_portrait", "control_ex", "triang_eig_ex",
            "pnorm", "symmetric_solve_ex", "inv_pos", "simple_solve",
            "remote_update", "lattice_tools", "gepp_growth",
-           "product_lanczos_ex", "matrix_zoo", "dynamic_reg_counter"]
+           "product_lanczos_ex", "matrix_zoo", "dynamic_reg_counter",
+           # r5 ports (VERDICT r4 #6)
+           "rnnls_ex", "bp_complex", "qp_affine_ex", "soc_members", "lcf",
+           "remote_dist_sparse", "multiply_ex", "sequential_least_squares",
+           "sequential_linear_solve", "sequential_lse", "lll_singular",
+           "bp_dense", "bpdn_dense", "cp_dense", "ds_dense", "en_dense",
+           "lav_dense", "lp_direct_dense", "lp_affine_dense", "nnls_dense",
+           "qp_direct_dense", "qp_affine_dense", "svm_dense"]
 
 
 @pytest.mark.parametrize("name", DRIVERS)
