@@ -232,10 +232,18 @@ class KKTFactor:
     d: jnp.ndarray
     scale: jnp.ndarray              # D (equilibration)
 
-    def solve(self, rhs: jnp.ndarray) -> jnp.ndarray:
+    def solve(self, rhs: jnp.ndarray, ctx=None) -> jnp.ndarray:
         raw = LDLFactorization(self.sys.symb, self.pool, self.d,
-                               False).solve(self.scale * rhs)
+                               False).solve(self.scale * rhs, ctx)
         return self.scale * raw
+
+    def solve_context(self):
+        """Per-level panel inverses for the equilibrated factor — build
+        once per factor, thread through every ``solve_refined`` against
+        it (the at-scale IPM loop hoists this out of the per-sweep
+        program; see ``lp._ipm_sparse``'s jfactor)."""
+        return LDLFactorization(self.sys.symb, self.pool, self.d,
+                                False).solve_context()
 
     # Unrolled straight-line Arnoldi only below this problem size: each
     # multifrontal-solve instance in the graph costs XLA ~1-2 min of TPU
@@ -246,7 +254,8 @@ class KKTFactor:
 
     def solve_refined(self, rhs: jnp.ndarray,
                       reg_diag: Optional[jnp.ndarray] = None,
-                      iters: int = 2, unroll: Optional[bool] = None) -> jnp.ndarray:
+                      iters: int = 2, unroll: Optional[bool] = None,
+                      ctx=None) -> jnp.ndarray:
         """Solve K₀·x = rhs where K₀ = K − diag(reg_diag), by ``iters``
         steps of FGMRES preconditioned with the LDL factor of the
         regularized K (the reference's refined ``SolveAfter`` path,
@@ -271,9 +280,24 @@ class KKTFactor:
                 kx = kx - reg_diag * x
             return kx
 
+        # At scale, precompute the per-level panel inverses ONCE per
+        # factor: the k FGMRES preconditioner applications then cost one
+        # batched matmul per level each instead of InvertDiagBlocks +
+        # serialized lax.map chunks (measured r5 at N=150,528: solve
+        # 551.9 → 172.0 ms, FGMRES-16 sweep 8.75 → 3.03 s at the same
+        # sweep residual 1.7e-7 — EXPERIMENTS §E5.7).  Below the
+        # chunking threshold the tri-solve path has no lax.map problem
+        # AND substitution's eps·‖L‖ residual beats the inverse's
+        # eps·κ(panel) on the ill-conditioned spread-θ panels (measured:
+        # the f64 RNNLS driver loses its x ≥ 0 guarantee with the
+        # inverse preconditioner at N=245), so small systems keep the
+        # exact path.
+        N = rhs.shape[0]
+        if ctx is None and N > self.UNROLL_MAX_N:
+            ctx = self.solve_context()
+
         beta = jnp.linalg.norm(rhs)
         k = max(1, int(iters))
-        N = rhs.shape[0]
         V = jnp.zeros((k + 1, N), rhs.dtype)
         V = V.at[0].set(rhs / jnp.where(beta > 0, beta, 1.0))
         Z = jnp.zeros((k, N), rhs.dtype)
@@ -281,7 +305,7 @@ class KKTFactor:
 
         def body(j, carry):
             V, Z, H = carry
-            z = self.solve(V[j])
+            z = self.solve(V[j], ctx)
             w = K0(z)
             mask = jnp.arange(k + 1) <= j
             coef = (V @ w) * mask

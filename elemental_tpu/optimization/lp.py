@@ -324,28 +324,32 @@ def lp_direct(A: SparseMatrix, b: np.ndarray, c: np.ndarray,
     if large:
         @jax.jit
         def jfactor(kkt, theta):
-            return kkt.prepare(kkt.assemble([theta]),
+            fact = kkt.prepare(kkt.assemble([theta]),
                                pivot_floor=pivot_floor)
+            # panel inverses once per FACTOR, not once per FGMRES sweep
+            # (~0.3 s each at N=150K × up to 12 sweeps/iteration)
+            return fact, fact.solve_context()
 
         @jax.jit
-        def jrefined(fact, reg_diag, rhs):
+        def jrefined(fact, reg_diag, rhs, ctx):
             return fact.solve_refined(rhs, reg_diag, iters=nref,
-                                      unroll=False)
+                                      unroll=False, ctx=ctx)
 
         @jax.jit
         def jresid(fact, reg_diag, rhs, sol):
             kx = fact.sys.matvec(fact.vals, sol) - reg_diag * sol
             return rhs - kx, jnp.linalg.norm(rhs - kx)
 
-        def ksolve_py(fact, f, g):
+        def ksolve_py(fact_ctx, f, g):
             """Restarted FGMRES(nref): a single sweep can plateau at
             ~5e-2 relative early in the IPM (measured r5 at n=10⁵: the
             resulting O(‖rhs‖·5e-2) noise in dx clips every
             fraction-to-boundary step to ~1% — a permanent stall);
             restarting on the true residual squares the contraction per
             sweep at one extra tree-solve sweep each."""
+            fact, ctx = fact_ctx
             rhs = jnp.concatenate([f, g])
-            sol = jrefined(fact, reg_diag, rhs)
+            sol = jrefined(fact, reg_diag, rhs, ctx)
             rn0 = float(jnp.linalg.norm(rhs))
             for _ in range(5):
                 r, rn = jresid(fact, reg_diag, rhs, sol)
@@ -356,7 +360,7 @@ def lp_direct(A: SparseMatrix, b: np.ndarray, c: np.ndarray,
                 # gap plateaus at exactly the restart target's level)
                 if float(rn) <= 1e-6 * rn0 or not np.isfinite(float(rn)):
                     break
-                sol = sol + jrefined(fact, reg_diag, r)
+                sol = sol + jrefined(fact, reg_diag, r, ctx)
             return sol[:n], sol[n:]
 
         @jax.jit
@@ -461,21 +465,21 @@ def lp_direct(A: SparseMatrix, b: np.ndarray, c: np.ndarray,
             return sigma_ipf * mu - x * z
 
         def start_py():
-            fact = jfactor(kkt, jnp.ones(n, bj.dtype))
-            x_t, _ = ksolve_py(fact, jnp.zeros(n, bj.dtype), bj)
-            z_t, yq = ksolve_py(fact, cj, jnp.zeros(m, bj.dtype))
+            fact_ctx = jfactor(kkt, jnp.ones(n, bj.dtype))
+            x_t, _ = ksolve_py(fact_ctx, jnp.zeros(n, bj.dtype), bj)
+            z_t, yq = ksolve_py(fact_ctx, cj, jnp.zeros(m, bj.dtype))
             return jstart_shift(x_t, z_t, yq)
 
         def step_py(x, y, z):
             rb, rc, mu, gap, theta = jpre(x, y, z, bj, cj, _ea.cols,
                                           _ea.vals, _eat.cols, _eat.vals)
-            fact = jfactor(kkt, theta)
+            fact_ctx = jfactor(kkt, theta)
             if mehrotra:
-                p, q = ksolve_py(fact, jaff_f(z, rc), rb)
+                p, q = ksolve_py(fact_ctx, jaff_f(z, rc), rb)
                 rmu = jpred(x, z, mu, p, q, rc, Atd)
             else:
                 rmu = jrmu_ipf(x, z, mu)
-            p, q = ksolve_py(fact, jrhs_f(x, rmu, rc), rb)
+            p, q = ksolve_py(fact_ctx, jrhs_f(x, rmu, rc), rb)
             return jpost(x, y, z, p, q, rb, rc, gap, Ad, Atd, bj, nb)
 
         x, y, z = start_py()

@@ -198,13 +198,42 @@ class LDLFactorization:
     conjugate: bool
 
     # -- solves -------------------------------------------------------------
-    def solve(self, b) -> jnp.ndarray:
+    def solve(self, b, ctx=None) -> jnp.ndarray:
         # precision pinned for the same reason as factor(): the level
         # triangular solves lower to MXU matmuls
         with jax.default_matmul_precision("highest"):
-            return self._solve_impl(b)
+            return self._solve_impl(b, ctx)
 
-    def _solve_impl(self, b) -> jnp.ndarray:
+    def solve_context(self):
+        """Precompute per-level explicit panel inverses L⁻¹ (jit-safe).
+
+        The k=1 tree solve is dominated NOT by arithmetic but by XLA's
+        ``InvertDiagBlocksLowerTriangular`` staging + the serialized
+        ``lax.map`` chunks it forces (measured r5: 527.9 ms/solve at
+        N=150,528 — 95 % of the at-scale IPM iteration, EXPERIMENTS
+        §E5.4).  Inverting each unit-lower panel ONCE per factor turns
+        every subsequent solve's level step into one batched matmul
+        (``linv @ xf``) — HBM-bound at pool bandwidth instead.
+
+        Numerics: applying an explicit triangular inverse bounds the
+        residual by eps·κ(L_panel) instead of substitution's eps·‖L‖,
+        so the context is used where a Krylov wrapper absorbs the
+        difference (``KKTFactor.solve_refined``'s FGMRES preconditioner
+        — reference ``SolveAfter``/refined path,
+        ``DistSparseLDLFactorization.cpp:264``), not in the plain
+        direct ``solve()``."""
+        with jax.default_matmul_precision("highest"):
+            out = []
+            for lev in self.symb.levels:
+                lp, eye = self._level_panels(lev)
+                # S-wide RHS doubles the staged footprint vs the k=1
+                # solves the 1M chunk constant was swept for — halve it
+                out.append(self._chunked_tri(
+                    lp, jnp.broadcast_to(eye, lp.shape), lev, eye,
+                    forward=True, chunk=self.TRI_SOLVE_CHUNK_ELEMS // 2))
+            return tuple(out)
+
+    def _solve_impl(self, b, ctx=None) -> jnp.ndarray:
         symb = self.symb
         n = symb.n
         x = jnp.asarray(b)
@@ -217,13 +246,15 @@ class LDLFactorization:
         xe = jnp.concatenate([x[perm], jnp.zeros((1, k), x.dtype)], axis=0)
 
         # forward: ascending levels
-        for lev in symb.levels:
-            xe = self._level_solve(xe, lev, forward=True)
+        for i, lev in enumerate(symb.levels):
+            xe = self._level_solve(xe, lev, forward=True,
+                                   linv=None if ctx is None else ctx[i])
         # diagonal
         xe = xe.at[:n].set(xe[:n] / self.d[:, None].astype(xe.dtype))
         # backward: descending levels
-        for lev in reversed(symb.levels):
-            xe = self._level_solve(xe, lev, forward=False)
+        for i, lev in reversed(list(enumerate(symb.levels))):
+            xe = self._level_solve(xe, lev, forward=False,
+                                   linv=None if ctx is None else ctx[i])
 
         iperm = jnp.asarray(symb.iperm)
         out = xe[:n][iperm]
@@ -244,8 +275,8 @@ class LDLFactorization:
     # batches are processed in lax.map chunks sized in PADDED elements.
     TRI_SOLVE_CHUNK_ELEMS = 1 << 20
 
-    def _level_solve(self, xe, lev, forward: bool):
-        nf = lev.sn_ids.shape[0]
+    def _level_panels(self, lev):
+        """Masked unit-lower panels (nf, S, S) for one level, plus eye."""
         S = lev.front_size
         fronts = self._level_fronts(lev)
         idx = jnp.arange(S)
@@ -253,8 +284,16 @@ class LDLFactorization:
         eye = jnp.eye(S, dtype=fronts.dtype)
         lp = jnp.where(colmask & (idx[None, :, None] > idx[None, None, :]),
                        fronts, 0.0) + eye[None]
-        rows = jnp.asarray(lev.front_rows)                 # (nf, S)
-        xf = xe[rows]                                      # (nf, S, k)
+        return lp, eye
+
+    def _chunked_tri(self, lp, xf, lev, eye, forward: bool,
+                     chunk: int | None = None):
+        """Batched unit-lower triangular solve, chunked in PADDED elements
+        (see TRI_SOLVE_CHUNK_ELEMS note above)."""
+        nf = lev.sn_ids.shape[0]
+        S = lev.front_size
+        if chunk is None:
+            chunk = self.TRI_SOLVE_CHUNK_ELEMS
 
         def tri(lp, xf):
             return jax.lax.linalg.triangular_solve(
@@ -263,22 +302,35 @@ class LDLFactorization:
                 and self.conjugate)
 
         pS = S * (-(-S // 128) * 128)          # lane-padded block footprint
-        if nf * pS <= self.TRI_SOLVE_CHUNK_ELEMS:
-            w = tri(lp, xf)
+        if nf * pS <= chunk:
+            return tri(lp, xf)
+        c = max(1, chunk // pS)
+        pad = (-nf) % c
+        lp_p = jnp.pad(lp, ((0, pad), (0, 0), (0, 0)))
+        # padded fronts get identity so the solve is well-defined
+        if pad:
+            lp_p = lp_p.at[nf:].add(eye[None])
+        xf_p = jnp.pad(xf, ((0, pad), (0, 0), (0, 0)))
+        k = lp_p.shape[0] // c
+        w = jax.lax.map(
+            lambda ab: tri(*ab),
+            (lp_p.reshape(k, c, S, S),
+             xf_p.reshape(k, c, S, xf.shape[-1])))
+        return w.reshape(-1, S, xf.shape[-1])[:nf]
+
+    def _level_solve(self, xe, lev, forward: bool, linv=None):
+        rows = jnp.asarray(lev.front_rows)                 # (nf, S)
+        xf = xe[rows]                                      # (nf, S, k)
+        if linv is not None:
+            # precomputed panel inverse (solve_context): one batched
+            # matmul per level — L⁻¹·xf forward, L⁻ᵀ·xf backward
+            op = linv if forward else jnp.swapaxes(linv, -1, -2)
+            if (not forward) and self.conjugate:
+                op = jnp.conj(op)
+            w = jnp.einsum("fij,fjk->fik", op, xf)
         else:
-            c = max(1, self.TRI_SOLVE_CHUNK_ELEMS // pS)
-            pad = (-nf) % c
-            lp_p = jnp.pad(lp, ((0, pad), (0, 0), (0, 0)))
-            # padded fronts get identity so the solve is well-defined
-            if pad:
-                lp_p = lp_p.at[nf:].add(eye[None])
-            xf_p = jnp.pad(xf, ((0, pad), (0, 0), (0, 0)))
-            k = lp_p.shape[0] // c
-            w = jax.lax.map(
-                lambda ab: tri(*ab),
-                (lp_p.reshape(k, c, S, S),
-                 xf_p.reshape(k, c, S, xf.shape[-1])))
-            w = w.reshape(-1, S, xf.shape[-1])[:nf]
+            lp, eye = self._level_panels(lev)
+            w = self._chunked_tri(lp, xf, lev, eye, forward)
         delta = w - xf
         return xe.at[rows.reshape(-1)].add(
             delta.reshape(-1, delta.shape[-1]))
